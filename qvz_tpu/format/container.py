@@ -169,3 +169,14 @@ def build_container(codebooks, well_state: bytes, payload: bytes,
     out.extend(well_state)
     out.extend(payload)
     return bytes(out)
+
+
+def build_container_raw(blocks: bytes, cluster_count: int, well_state: bytes,
+                        payload: bytes, columns: int, lines: int) -> bytes:
+    """Assemble a container from already-serialized codebook blocks."""
+    out = bytearray()
+    out.extend(write_header(cluster_count, columns, lines))
+    out.extend(blocks)
+    out.extend(well_state)
+    out.extend(payload)
+    return bytes(out)

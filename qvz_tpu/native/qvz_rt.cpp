@@ -1,0 +1,998 @@
+// qvz_rt: native host runtime for the qvz_tpu framework.
+//
+// Implements the pieces of the QVZ pipeline whose bit-level semantics are
+// baked into the bitstream and which are inherently sequential or tiny:
+//   * WELL-1024a dither-draw generation            (ref: src/well.c)
+//   * Lloyd-Max codebook design, exact doubles     (ref: src/quantizer.c,
+//     src/codebook.c:230-468)
+//   * codebook serialization / table construction  (ref: src/codebook.c:
+//     474-669)
+//   * context-adaptive arithmetic coding           (ref: src/arith.c,
+//     src/qv_stream.c, src/os_stream.c)
+//
+// The heavy O(reads x columns) modeling passes (clustering, histograms,
+// quantization) run on TPU via JAX; this library consumes their outputs.
+//
+// Bit-exactness notes: compile WITHOUT -march=native and WITH
+// -ffp-contract=off so no FMA contraction changes double rounding; libm
+// log2() matches the reference binary's. All accumulation orders follow
+// the reference (see the per-function comments).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cfloat>
+#include <vector>
+#include <string>
+
+namespace {
+
+constexpr int A = 72;                 // alphabet size
+constexpr uint32_t kArithM = 22;
+constexpr uint32_t kArithR = 1u << (kArithM - 3);
+constexpr uint32_t kMsbShift = kArithM - 1;
+constexpr uint32_t kSmsbShift = kArithM - 2;
+constexpr uint32_t kMsbClear = (1u << kMsbShift) - 1;
+constexpr uint32_t kMsbBit = 1u << kMsbShift;
+constexpr uint32_t kFull = (1u << kArithM) - 1;
+constexpr uint32_t kStep = 8;
+constexpr int kMaxIter = 100;         // Lloyd-Max iteration cap
+
+// ---------------------------------------------------------------- WELL
+
+struct Well {
+  uint32_t s[32];
+  uint32_t n = 0;
+  uint32_t pool = 0;
+  uint32_t pool_bits = 0;
+
+  explicit Well(const uint32_t* state) {
+    std::memcpy(s, state, 32 * sizeof(uint32_t));
+  }
+
+  inline uint32_t word() {
+    uint32_t z0 = s[(n + 31) & 31];
+    uint32_t vm1 = s[(n + 3) & 31];
+    uint32_t vm2 = s[(n + 24) & 31];
+    uint32_t vm3 = s[(n + 10) & 31];
+    uint32_t z1 = s[n] ^ (vm1 ^ (vm1 >> 8));
+    uint32_t z2 = (vm2 ^ (vm2 << 19)) ^ (vm3 ^ (vm3 << 14));
+    s[n] = z1 ^ z2;
+    n = (n + 31) & 31;
+    s[n] = (z0 ^ (z0 << 11)) ^ (z1 ^ (z1 << 7)) ^ (z2 ^ (z2 << 13));
+    return s[n];
+  }
+
+  // 7-bit draw from a shared pool; refill checked BEFORE the draw so the
+  // last 4 bits of every pool word are discarded (well.c:33-46).
+  inline uint32_t draw7() {
+    if (pool_bits < 7) {
+      pool = word();
+      pool_bits = 32;
+    }
+    uint32_t r = pool & 0x7F;
+    pool >>= 7;
+    pool_bits -= 7;
+    return r;
+  }
+};
+
+// ------------------------------------------------------------ bit sink
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t pos = 0;
+  uint32_t cur = 0;
+  uint32_t bitpos = 0;
+  bool overflow = false;
+
+  BitWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
+
+  inline void put(uint32_t bit) {
+    cur |= (bit & 1u);
+    if (++bitpos == 8) {
+      if (pos < cap) out[pos] = static_cast<uint8_t>(cur);
+      else overflow = true;
+      ++pos;
+      cur = 0;
+      bitpos = 0;
+    } else {
+      cur <<= 1;
+    }
+  }
+
+  inline void put_bits(uint32_t dw, int len) {
+    for (int b = len - 1; b >= 0; --b) put((dw >> b) & 1u);
+  }
+
+  // stream_finish_byte: flushes unconditionally, so a stream ending on a
+  // byte boundary gains one extra zero byte (os_stream.c:105-110).
+  void finish_byte() {
+    cur = (cur << (7 - bitpos)) & 0xFF;
+    if (pos < cap) out[pos] = static_cast<uint8_t>(cur);
+    else overflow = true;
+    ++pos;
+    cur = 0;
+    bitpos = 0;
+  }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t len;
+  uint64_t bitpos = 0;
+
+  BitReader(const uint8_t* d, uint64_t l) : data(d), len(l) {}
+
+  inline uint32_t get() {
+    uint64_t byte = bitpos >> 3;
+    uint32_t bit = 0;
+    if (byte < len) bit = (data[byte] >> (7 - (bitpos & 7))) & 1u;
+    ++bitpos;
+    return bit;  // zero past EOF, matching the calloc'd stream buffer
+  }
+
+  uint32_t get_bits(int n) {
+    uint32_t v = 0;
+    for (int b = n - 1; b >= 0; --b) v |= get() << b;
+    return v;
+  }
+};
+
+// ----------------------------------------------------- adaptive models
+
+// Flat model bank: counts for model m live at counts[off[m] .. off[m]+card).
+struct ModelBank {
+  std::vector<uint32_t> counts;
+  std::vector<uint64_t> off;
+  std::vector<uint32_t> card;
+  std::vector<uint32_t> total;
+
+  void init(const uint32_t* cards, uint32_t n_models) {
+    off.resize(n_models);
+    card.assign(cards, cards + n_models);
+    total.resize(n_models);
+    uint64_t o = 0;
+    for (uint32_t m = 0; m < n_models; ++m) {
+      off[m] = o;
+      o += cards[m];
+      total[m] = cards[m];  // counts start at 1 each
+    }
+    counts.assign(o, 1u);
+  }
+
+  inline void update(uint32_t m, uint32_t x) {
+    uint32_t* c = counts.data() + off[m];
+    c[x] += kStep;
+    uint32_t n = total[m] + kStep;
+    if (n > kArithR) {
+      n = 0;
+      uint32_t k = card[m];
+      for (uint32_t i = 0; i < k; ++i) {
+        if (c[i]) {
+          c[i] = (c[i] >> 1) + 1;
+          n += c[i];
+        }
+      }
+    }
+    total[m] = n;
+  }
+};
+
+// -------------------------------------------------- arithmetic coding
+
+struct Encoder {
+  uint32_t l = 0, u = kFull;
+  int32_t scale3 = 0;
+  BitWriter* bw;
+
+  explicit Encoder(BitWriter* w) : bw(w) {}
+
+  inline void step(const uint32_t* c, uint32_t n, uint32_t x) {
+    uint64_t range = static_cast<uint64_t>(u) - l + 1;
+    uint32_t cum_lo = 0;
+    for (uint32_t i = 0; i < x; ++i) cum_lo += c[i];
+    uint32_t cum_hi = cum_lo + c[x];
+    u = l + static_cast<uint32_t>((range * cum_hi) / n) - 1;
+    l = l + static_cast<uint32_t>((range * cum_lo) / n);
+
+    for (;;) {
+      uint32_t msb_l = l >> kMsbShift;
+      uint32_t msb_u = u >> kMsbShift;
+      if (msb_l == msb_u) {
+        bw->put(msb_l);
+        l = (l & kMsbClear) << 1;
+        u = ((u & kMsbClear) << 1) + 1;
+        uint32_t comp = msb_l ^ 1u;
+        while (scale3 > 0) {
+          bw->put(comp);
+          --scale3;
+        }
+      } else if ((l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02) {
+        ++scale3;
+        u = (((u << 1) & kMsbClear) | kMsbBit) + 1;
+        l = (l << 1) & kMsbClear;
+      } else {
+        break;
+      }
+    }
+  }
+
+  int64_t finish() {
+    uint32_t msb_l = l >> kMsbShift;
+    bw->put(msb_l);
+    uint32_t comp = msb_l ^ 1u;
+    while (scale3 > 0) {
+      bw->put(comp);
+      --scale3;
+    }
+    bw->put_bits(l, kArithM - 1);
+    bw->finish_byte();
+    return bw->pos;
+  }
+};
+
+struct Decoder {
+  uint32_t l = 0, u = kFull, t = 0;
+  BitReader* br;
+
+  explicit Decoder(BitReader* r) : br(r) { t = br->get_bits(kArithM); }
+
+  inline uint32_t step(const uint32_t* c, uint32_t n) {
+    uint64_t range = static_cast<uint64_t>(u) - l + 1;
+    uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
+    uint32_t sub = static_cast<uint32_t>((tag_gap * n - 1) / range);
+    uint32_t k = 0, cum = 0;
+    while (sub >= cum) cum += c[k++];
+    uint32_t x = k - 1;
+
+    uint32_t cum_lo = 0;
+    for (uint32_t i = 0; i < x; ++i) cum_lo += c[i];
+    uint32_t cum_hi = cum_lo + c[x];
+    u = l + static_cast<uint32_t>((range * cum_hi) / n) - 1;
+    l = l + static_cast<uint32_t>((range * cum_lo) / n);
+
+    for (;;) {
+      uint32_t msb_l = l >> kMsbShift;
+      uint32_t msb_u = u >> kMsbShift;
+      if (msb_l == msb_u) {
+        l = (l & kMsbClear) << 1;
+        u = ((u & kMsbClear) << 1) + 1;
+        t = ((t & kMsbClear) << 1) + br->get();
+      } else if ((l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02) {
+        l = (l << 1) & kMsbClear;
+        u = (((u << 1) & kMsbClear) | kMsbBit) + 1;
+        t = (((t & kMsbClear) << 1) ^ kMsbBit) + br->get();
+      } else {
+        break;
+      }
+    }
+    return x;
+  }
+
+  // Final-symbol drain without renormalization (arith.c:190-205).
+  inline uint32_t last(const uint32_t* c, uint32_t n) const {
+    uint64_t range = static_cast<uint64_t>(u) - l + 1;
+    uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
+    uint64_t sub = (tag_gap * n - 1) / range;
+    uint32_t k = 0, cum = 0;
+    while (sub >= cum) cum += c[k++];
+    return k - 1;
+  }
+};
+
+// ------------------------------------------------- Lloyd-Max design
+
+// A designed quantizer: full 72-entry map plus its output symbol list
+// (the raw reconstruction array, duplicates preserved).
+struct Quant {
+  uint8_t q[A];
+  std::vector<uint8_t> out_syms;  // alloc_alphabet copy of reconstruction
+  double ratio = 0.0;
+};
+
+// Reference-exact Lloyd-Max (quantizer.c:34-132). See spec/quantizer.py
+// for the full semantics commentary; loop orders are identical.
+static void lloyd_max(const double* pmf, const double* dist, int states,
+                      Quant* out) {
+  int bounds[A + 1];
+  int rec[A];
+  bounds[0] = 0;
+  bounds[states] = A;
+  for (int j = 1; j < states; ++j) bounds[j] = (j * A) / states;
+  for (int j = 0; j < states; ++j) rec[j] = (bounds[j] + bounds[j + 1] - 1) / 2;
+
+  bool changed = true;
+  int iter = 0;
+  while (changed && iter < kMaxIter) {
+    changed = false;
+    ++iter;
+    for (int j = 0; j < states; ++j) {
+      double min_mse = DBL_MAX;
+      int min_r = bounds[j];
+      for (int r = bounds[j]; r < bounds[j + 1]; ++r) {
+        double mse = 0.0;
+        for (int i = bounds[j]; i < bounds[j + 1]; ++i) {
+          mse += pmf[i] * dist[i * A + r];
+        }
+        if (mse < min_mse) {
+          min_r = r;
+          min_mse = mse;
+        }
+      }
+      if (min_r != rec[j]) {
+        changed = true;
+        rec[j] = min_r;
+      }
+    }
+    int r = 0;
+    for (int j = 1; j < A - 1 && r < states - 1; ++j) {
+      double mse = dist[j * A + rec[r]];
+      double next_mse = dist[j * A + rec[r + 1]];
+      if (next_mse < mse) {
+        ++r;
+        bounds[r] = j;
+      }
+    }
+  }
+
+  for (int j = 0; j < states; ++j) {
+    for (int i = bounds[j]; i < bounds[j + 1]; ++i) {
+      out->q[i] = static_cast<uint8_t>(rec[j]);
+    }
+  }
+  out->out_syms.resize(states);
+  for (int j = 0; j < states; ++j) out->out_syms[j] = static_cast<uint8_t>(rec[j]);
+}
+
+// Entropy of the quantized pmf, ascending-index accumulation over the full
+// alphabet (quantizer.c:139-161 + pmf.c:141-155).
+static double quantized_entropy(const Quant& q, const double* pmf) {
+  double out[A] = {0.0};
+  for (int i = 0; i < A; ++i) out[q.q[i]] += pmf[i];
+  double h = 0.0;
+  for (int i = 0; i < A; ++i) {
+    if (out[i] > 0.0) h -= out[i] * log2(out[i]);
+  }
+  return h;
+}
+
+static double entropy_of(const double* pmf) {
+  double h = 0.0;
+  for (int i = 0; i < A; ++i) {
+    if (pmf[i] > 0.0) h -= pmf[i] * log2(pmf[i]);
+  }
+  return h;
+}
+
+// States sweep bracketing the entropy target (codebook.c:230-269).
+// Returns the lo-selection probability; fills lo/hi.
+static double optimize_for_entropy(const double* pmf, const double* dist,
+                                   double target, Quant* lo, Quant* hi) {
+  if (target == 0.0) {
+    lloyd_max(pmf, dist, 1, lo);
+    lloyd_max(pmf, dist, 1, hi);
+    return 1.0;
+  }
+  int states = 1;
+  lloyd_max(pmf, dist, states, hi);
+  double hi_h = quantized_entropy(*hi, pmf);
+  double lo_h = hi_h;
+  for (;;) {
+    *lo = *hi;
+    lo_h = hi_h;
+    ++states;
+    lloyd_max(pmf, dist, states, hi);
+    hi_h = quantized_entropy(*hi, pmf);
+    if (!(hi_h < target && states < A)) break;
+  }
+  if (hi_h < target) return 0.0;
+  if (lo_h >= target || hi_h == lo_h) return 1.0;
+  return (target - hi_h) / (lo_h - hi_h);
+}
+
+// ------------------------------------------------- codebook design
+
+struct ColumnDesign {
+  std::vector<uint8_t> input_syms;  // context alphabet (duplicates possible)
+  std::vector<Quant> lo, hi;        // per context
+  std::vector<double> ratio;
+  std::vector<uint8_t> qratio;
+};
+
+// Sorted-merge union keeping duplicates within one input (pmf.c:312-357).
+static std::vector<uint8_t> merge_union(const std::vector<uint8_t>& a,
+                                        const std::vector<uint8_t>& b) {
+  std::vector<uint8_t> out;
+  out.reserve(a.size() + b.size());
+  size_t i = 0, j = 0;
+  while (i < a.size() && j < b.size()) {
+    if (a[i] < b[j]) out.push_back(a[i++]);
+    else if (a[i] == b[j]) { out.push_back(a[i]); ++i; ++j; }
+    else out.push_back(b[j++]);
+  }
+  while (i < a.size()) out.push_back(a[i++]);
+  while (j < b.size()) out.push_back(b[j++]);
+  return out;
+}
+
+static void counts_to_pmf(const uint64_t* counts, double* pmf) {
+  uint64_t tot = 0;
+  for (int i = 0; i < A; ++i) tot += counts[i];
+  if (tot == 0) {
+    for (int i = 0; i < A; ++i) pmf[i] = 0.0;
+    return;
+  }
+  double dt = static_cast<double>(tot);
+  for (int i = 0; i < A; ++i) pmf[i] = static_cast<double>(counts[i]) / dt;
+}
+
+static void renormalize(double* p, size_t n) {
+  double tot = 0.0;
+  for (size_t i = 0; i < n; ++i) tot += p[i];
+  if (tot > 0.0) {
+    for (size_t i = 0; i < n; ++i) p[i] = p[i] / tot;
+  }
+}
+
+// Full per-cluster design (codebook.c:355-468). Sequential over columns;
+// the compute_qpmf_list inner x-sum is hoisted out of the idx loop, which
+// is bit-exact because the summand only depends on (j, k) and the += order
+// over j per output cell is unchanged.
+static std::vector<ColumnDesign> design_cluster(
+    const uint64_t* counts0, const uint64_t* cond_counts, int columns,
+    int mode, double opt_ratio, const double* dist) {
+  std::vector<ColumnDesign> books(columns);
+
+  // Marginal column pmfs via the chained total-probability recursion
+  // (codebook.c:208-218): acc = 1.0*acc + w_j * P(.|j), j ascending.
+  std::vector<std::vector<double>> marg(columns, std::vector<double>(A, 0.0));
+  counts_to_pmf(counts0, marg[0].data());
+  std::vector<double> cond_buf(A);
+  for (int c = 1; c < columns; ++c) {
+    const uint64_t* base = cond_counts + static_cast<size_t>(c - 1) * A * A;
+    auto& acc = marg[c];
+    for (int j = 0; j < A; ++j) {
+      double w = marg[c - 1][j];
+      counts_to_pmf(base + static_cast<size_t>(j) * A, cond_buf.data());
+      for (int i = 0; i < A; ++i) acc[i] = 1.0 * acc[i] + w * cond_buf[i];
+    }
+  }
+
+  // Column 0 (codebook.c:402-411).
+  double pmf0[A];
+  counts_to_pmf(counts0, pmf0);
+  double target = (mode == 0) ? entropy_of(pmf0) * opt_ratio : opt_ratio;
+  ColumnDesign& b0 = books[0];
+  b0.input_syms = {0};
+  b0.lo.resize(1);
+  b0.hi.resize(1);
+  double ratio = optimize_for_entropy(pmf0, dist, target, &b0.lo[0], &b0.hi[0]);
+  b0.lo[0].ratio = ratio;
+  b0.hi[0].ratio = 1 - ratio;
+  b0.ratio = {ratio};
+  b0.qratio = {static_cast<uint8_t>(ratio * 128.0)};
+
+  // prev_qpmf[x][j]: P(Q_{col-1}=union[j] | X_{col-1}=x)
+  std::vector<std::vector<double>> prev_qpmf;
+
+  for (int column = 1; column < columns; ++column) {
+    ColumnDesign& prev = books[column - 1];
+    size_t prev_n = prev.input_syms.size();
+
+    // Union of previous column's output alphabets in stored order.
+    std::vector<uint8_t> uni = prev.lo[0].out_syms;
+    for (size_t j = 1; j < 2 * prev_n; ++j) {
+      const Quant& q = (j & 1) ? prev.hi[j >> 1] : prev.lo[j >> 1];
+      uni = merge_union(uni, q.out_syms);
+    }
+    size_t un = uni.size();
+
+    // P(Q_i | X_i).
+    std::vector<std::vector<double>> qpmf(A, std::vector<double>(un, 0.0));
+    if (column == 1) {
+      // compute_qpmf_quan_list (codebook.c:274-289); NOT renormalized.
+      const Quant& qlo = prev.lo[0];
+      const Quant& qhi = prev.hi[0];
+      double r0 = prev.ratio[0];
+      for (int x = 0; x < A; ++x) {
+        for (size_t idx = 0; idx < un; ++idx) {
+          uint8_t sym = uni[idx];
+          if (qlo.q[x] == sym) qpmf[x][idx] += r0;
+          if (qhi.q[x] == sym) qpmf[x][idx] += (1 - r0);
+        }
+      }
+    } else {
+      // compute_qpmf_list (codebook.c:291-330) with the hoisted x-sum.
+      const uint64_t* cbase =
+          cond_counts + static_cast<size_t>(column - 2) * A * A;
+      std::vector<std::vector<double>> cond_prob(A, std::vector<double>(A));
+      for (int x = 0; x < A; ++x) {
+        counts_to_pmf(cbase + static_cast<size_t>(x) * A,
+                      cond_prob[x].data());
+      }
+      const auto& m2 = marg[column - 2];
+      std::vector<std::vector<double>> p_temp(
+          prev_n, std::vector<double>(A, 0.0));
+      for (size_t j = 0; j < prev_n; ++j) {
+        for (int k = 0; k < A; ++k) {
+          double acc = 0.0;
+          for (int x = 0; x < A; ++x) {
+            acc += prev_qpmf[x][j] * cond_prob[x][k] * m2[x];
+          }
+          p_temp[j][k] = acc;
+        }
+      }
+      for (int k = 0; k < A; ++k) {
+        auto& row = qpmf[k];
+        for (size_t idx = 0; idx < un; ++idx) {
+          uint8_t sym = uni[idx];
+          for (size_t j = 0; j < prev_n; ++j) {
+            double p_q_xq = 0.0;
+            if (prev.lo[j].q[k] == sym) p_q_xq += prev.lo[j].ratio;
+            if (prev.hi[j].q[k] == sym) p_q_xq += prev.hi[j].ratio;
+            row[idx] += p_q_xq * p_temp[j][k];
+          }
+        }
+        renormalize(row.data(), un);
+      }
+    }
+
+    // P(X_{i+1} | Q_i) (codebook.c:332-349).
+    const uint64_t* xbase =
+        cond_counts + static_cast<size_t>(column - 1) * A * A;
+    std::vector<std::vector<double>> cond_prob_x(A, std::vector<double>(A));
+    for (int x = 0; x < A; ++x) {
+      counts_to_pmf(xbase + static_cast<size_t>(x) * A,
+                    cond_prob_x[x].data());
+    }
+    const auto& m1 = marg[column - 1];
+    std::vector<std::vector<double>> xpmf(un, std::vector<double>(A, 0.0));
+    for (size_t idx = 0; idx < un; ++idx) {
+      auto& row = xpmf[idx];
+      for (int k = 0; k < A; ++k) {
+        double acc = 0.0;
+        for (int x = 0; x < A; ++x) {
+          acc += qpmf[x][idx] * cond_prob_x[x][k] * m1[x];
+        }
+        row[k] = acc;
+      }
+      renormalize(row.data(), A);
+    }
+
+    // Per-context optimization (codebook.c:441-454).
+    ColumnDesign& b = books[column];
+    b.input_syms = uni;
+    b.lo.resize(un);
+    b.hi.resize(un);
+    b.ratio.resize(un);
+    b.qratio.resize(un);
+    for (size_t j = 0; j < un; ++j) {
+      double tgt = (mode == 0) ? entropy_of(xpmf[j].data()) * opt_ratio
+                               : opt_ratio;
+      double rj = optimize_for_entropy(xpmf[j].data(), dist, tgt,
+                                       &b.lo[j], &b.hi[j]);
+      b.lo[j].ratio = rj;
+      b.hi[j].ratio = 1 - rj;
+      b.ratio[j] = rj;
+      b.qratio[j] = static_cast<uint8_t>(rj * 128.0);
+    }
+
+    prev_qpmf = std::move(qpmf);
+  }
+
+  return books;
+}
+
+// Serialize one cluster's codebook block (codebook.c:474-555 format).
+static void serialize_books(const std::vector<ColumnDesign>& books,
+                            std::string* out) {
+  const ColumnDesign& b0 = books[0];
+  out->push_back(static_cast<char>(b0.qratio[0] + 33));
+  out->push_back('\n');
+  for (int i = 0; i < A; ++i) out->push_back(static_cast<char>(b0.lo[0].q[i] + 33));
+  out->push_back('\n');
+  for (int i = 0; i < A; ++i) out->push_back(static_cast<char>(b0.hi[0].q[i] + 33));
+  out->push_back('\n');
+  for (size_t c = 1; c < books.size(); ++c) {
+    const ColumnDesign& b = books[c];
+    for (uint8_t qr : b.qratio) out->push_back(static_cast<char>(qr + 33));
+    out->push_back('\n');
+    for (const Quant& q : b.lo) {
+      for (int i = 0; i < A; ++i) out->push_back(static_cast<char>(q.q[i] + 33));
+    }
+    out->push_back('\n');
+    for (const Quant& q : b.hi) {
+      for (int i = 0; i < A; ++i) out->push_back(static_cast<char>(q.q[i] + 33));
+    }
+    out->push_back('\n');
+  }
+}
+
+// ------------------------------------------------- coding tables
+
+// Adjacent-deduplication output alphabet (quantizer.c:167-191).
+static std::vector<uint8_t> adjacent_unique(const uint8_t* q) {
+  std::vector<uint8_t> u;
+  u.push_back(q[0]);
+  for (int x = 1; x < A; ++x) {
+    if (q[x] != u.back()) u.push_back(q[x]);
+  }
+  return u;
+}
+
+// Flat coding tables shared by the encoder and decoder. Pair index
+// p = pair_base[cluster*columns + col] + ctx; model id = 1 + 2p + choice
+// (model 0 is the cluster-id model).
+struct Tables {
+  uint32_t n_clusters = 0;
+  uint32_t columns = 0;
+  uint64_t n_pairs = 0;
+  uint32_t n_models = 0;
+  int64_t consumed = 0;  // bytes of the parsed codebook blocks
+
+  std::vector<uint32_t> pair_base;   // [n_clusters*columns]
+  std::vector<int32_t> ctxmap;       // [n_clusters*columns*A] prev -> ctx
+  std::vector<uint8_t> qratio;       // [n_pairs]
+  std::vector<uint32_t> model_card;  // [n_models]
+  std::vector<uint64_t> model_off;   // [n_models+1] into model_syms
+  std::vector<uint8_t> model_syms;   // output alphabets, flat
+  std::vector<uint8_t> qv_map;       // [n_pairs*2*A] symbol -> quantized
+  std::vector<uint8_t> qs_map;       // [n_pairs*2*A] symbol -> state index
+};
+
+// Index table with last-wins semantics (pmf.c:365-382).
+static void fill_index(const std::vector<uint8_t>& syms, int32_t* idx) {
+  for (int i = 0; i < A; ++i) idx[i] = -1;
+  for (size_t i = 0; i < syms.size(); ++i) idx[syms[i]] = static_cast<int32_t>(i);
+}
+
+// Append one quantizer's tables given its output alphabet.
+static void append_quant_tables(Tables* tb, const uint8_t* qmap,
+                                const std::vector<uint8_t>& out_syms) {
+  int32_t sym_idx[A];
+  fill_index(out_syms, sym_idx);
+  tb->model_card.push_back(static_cast<uint32_t>(out_syms.size()));
+  tb->model_off.push_back(tb->model_off.back() + out_syms.size());
+  tb->model_syms.insert(tb->model_syms.end(), out_syms.begin(),
+                        out_syms.end());
+  for (int i = 0; i < A; ++i) {
+    tb->qv_map.push_back(qmap[i]);
+    tb->qs_map.push_back(static_cast<uint8_t>(sym_idx[qmap[i]]));
+  }
+}
+
+// Build tables from designed books (encoder path: output alphabets are the
+// raw reconstruction arrays).
+static Tables* tables_from_design(
+    const std::vector<std::vector<ColumnDesign>>& all, uint32_t columns) {
+  Tables* tb = new Tables();
+  tb->n_clusters = static_cast<uint32_t>(all.size());
+  tb->columns = columns;
+  tb->model_off.push_back(0);
+  tb->model_card.push_back(tb->n_clusters);  // model 0: cluster ids
+  tb->model_off.push_back(tb->n_clusters);
+  for (uint32_t c = 0; c < tb->n_clusters; ++c) {
+    tb->model_syms.push_back(static_cast<uint8_t>(c));
+  }
+  for (uint32_t cl = 0; cl < tb->n_clusters; ++cl) {
+    const auto& books = all[cl];
+    for (uint32_t col = 0; col < columns; ++col) {
+      const ColumnDesign& b = books[col];
+      tb->pair_base.push_back(static_cast<uint32_t>(tb->n_pairs));
+      int32_t* cm = nullptr;
+      tb->ctxmap.resize(tb->ctxmap.size() + A, -1);
+      cm = tb->ctxmap.data() + tb->ctxmap.size() - A;
+      fill_index(b.input_syms, cm);
+      for (size_t j = 0; j < b.input_syms.size(); ++j) {
+        tb->qratio.push_back(b.qratio[j]);
+        append_quant_tables(tb, b.lo[j].q, b.lo[j].out_syms);
+        append_quant_tables(tb, b.hi[j].q, b.hi[j].out_syms);
+        ++tb->n_pairs;
+      }
+    }
+  }
+  tb->n_models = static_cast<uint32_t>(tb->model_card.size());
+  return tb;
+}
+
+// Parse serialized codebook blocks (decoder path: output alphabets come
+// from adjacent-dedup of the maps, contexts from running unions,
+// codebook.c:586-669).
+static Tables* tables_from_blocks(const uint8_t* data, int64_t len,
+                                  uint32_t n_clusters, uint32_t columns) {
+  Tables* tb = new Tables();
+  tb->n_clusters = n_clusters;
+  tb->columns = columns;
+  tb->model_off.push_back(0);
+  tb->model_card.push_back(n_clusters);
+  tb->model_off.push_back(n_clusters);
+  for (uint32_t c = 0; c < n_clusters; ++c) {
+    tb->model_syms.push_back(static_cast<uint8_t>(c));
+  }
+
+  int64_t pos = 0;
+  auto need = [&](int64_t n) { return pos + n <= len; };
+
+  for (uint32_t cl = 0; cl < n_clusters; ++cl) {
+    if (!need(2 + 2 * (A + 1))) { delete tb; return nullptr; }
+    // Column 0.
+    uint8_t qr0 = static_cast<uint8_t>(data[pos] - 33);
+    pos += 2;  // ratio byte + newline
+    uint8_t lo_map[A], hi_map[A];
+    for (int i = 0; i < A; ++i) lo_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+    pos += A + 1;
+    for (int i = 0; i < A; ++i) hi_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+    pos += A + 1;
+
+    tb->pair_base.push_back(static_cast<uint32_t>(tb->n_pairs));
+    tb->ctxmap.resize(tb->ctxmap.size() + A, -1);
+    {
+      std::vector<uint8_t> in0 = {0};
+      fill_index(in0, tb->ctxmap.data() + tb->ctxmap.size() - A);
+    }
+    std::vector<uint8_t> lo_out = adjacent_unique(lo_map);
+    std::vector<uint8_t> hi_out = adjacent_unique(hi_map);
+    tb->qratio.push_back(qr0);
+    append_quant_tables(tb, lo_map, lo_out);
+    append_quant_tables(tb, hi_map, hi_out);
+    ++tb->n_pairs;
+
+    std::vector<uint8_t> uniques = merge_union(lo_out, hi_out);
+
+    for (uint32_t col = 1; col < columns; ++col) {
+      size_t size = uniques.size();
+      tb->pair_base.push_back(static_cast<uint32_t>(tb->n_pairs));
+      tb->ctxmap.resize(tb->ctxmap.size() + A, -1);
+      fill_index(uniques, tb->ctxmap.data() + tb->ctxmap.size() - A);
+
+      if (!need(static_cast<int64_t>(size) * (1 + 2 * A) + 3)) {
+        delete tb;
+        return nullptr;
+      }
+      std::vector<uint8_t> qrs(size);
+      for (size_t i = 0; i < size; ++i) qrs[i] = static_cast<uint8_t>(data[pos + i] - 33);
+      pos += static_cast<int64_t>(size) + 1;
+
+      std::vector<std::vector<uint8_t>> lo_maps(size), hi_maps(size);
+      std::vector<std::vector<uint8_t>> lo_outs(size), hi_outs(size);
+      std::vector<uint8_t> next_uniques;
+      for (size_t i = 0; i < size; ++i) {
+        lo_maps[i].resize(A);
+        for (int k = 0; k < A; ++k) lo_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+        pos += A;
+        lo_outs[i] = adjacent_unique(lo_maps[i].data());
+        next_uniques = merge_union(next_uniques, lo_outs[i]);
+      }
+      pos += 1;  // newline
+      for (size_t i = 0; i < size; ++i) {
+        hi_maps[i].resize(A);
+        for (int k = 0; k < A; ++k) hi_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+        pos += A;
+        hi_outs[i] = adjacent_unique(hi_maps[i].data());
+        next_uniques = merge_union(next_uniques, hi_outs[i]);
+      }
+      pos += 1;  // newline
+
+      for (size_t i = 0; i < size; ++i) {
+        tb->qratio.push_back(qrs[i]);
+        append_quant_tables(tb, lo_maps[i].data(), lo_outs[i]);
+        append_quant_tables(tb, hi_maps[i].data(), hi_outs[i]);
+        ++tb->n_pairs;
+      }
+      uniques = std::move(next_uniques);
+    }
+  }
+  tb->n_models = static_cast<uint32_t>(tb->model_card.size());
+  tb->consumed = pos;
+  return tb;
+}
+
+}  // namespace
+
+// =================================================================== C API
+
+extern "C" {
+
+// --- WELL draws -------------------------------------------------------
+
+void qvz_well_draws7(const uint32_t* state, uint64_t n_draws, uint8_t* out) {
+  Well w(state);
+  for (uint64_t i = 0; i < n_draws; ++i) {
+    out[i] = static_cast<uint8_t>(w.draw7());
+  }
+}
+
+// --- codebook design ----------------------------------------------------
+
+// Opaque design handle: designed books for all clusters + serialization.
+struct QvzDesign {
+  std::vector<std::vector<ColumnDesign>> books;
+  std::string serialized;
+  uint32_t columns = 0;
+};
+
+void* qvz_design_create(const uint64_t* counts0,      // [n_clusters*72]
+                        const uint64_t* cond_counts,  // [n_clusters*(cols-1)*72*72]
+                        uint32_t n_clusters, uint32_t columns, int32_t mode,
+                        double ratio, const double* dist) {
+  QvzDesign* d = new QvzDesign();
+  d->columns = columns;
+  size_t cond_stride = static_cast<size_t>(columns - 1) * A * A;
+  for (uint32_t c = 0; c < n_clusters; ++c) {
+    d->books.push_back(design_cluster(counts0 + static_cast<size_t>(c) * A,
+                                      cond_counts + c * cond_stride,
+                                      static_cast<int>(columns), mode, ratio,
+                                      dist));
+    serialize_books(d->books.back(), &d->serialized);
+  }
+  return d;
+}
+
+int64_t qvz_design_serialized_size(void* h) {
+  return static_cast<int64_t>(static_cast<QvzDesign*>(h)->serialized.size());
+}
+
+void qvz_design_serialized(void* h, uint8_t* out) {
+  QvzDesign* d = static_cast<QvzDesign*>(h);
+  std::memcpy(out, d->serialized.data(), d->serialized.size());
+}
+
+void qvz_design_free(void* h) { delete static_cast<QvzDesign*>(h); }
+
+// --- coding tables -------------------------------------------------------
+
+void* qvz_tables_from_design(void* design_handle) {
+  QvzDesign* d = static_cast<QvzDesign*>(design_handle);
+  return tables_from_design(d->books, d->columns);
+}
+
+void* qvz_tables_from_blocks(const uint8_t* blocks, int64_t len,
+                             uint32_t n_clusters, uint32_t columns) {
+  return tables_from_blocks(blocks, len, n_clusters, columns);
+}
+
+void qvz_tables_free(void* h) { delete static_cast<Tables*>(h); }
+
+uint64_t qvz_tables_n_pairs(void* h) { return static_cast<Tables*>(h)->n_pairs; }
+uint32_t qvz_tables_n_models(void* h) { return static_cast<Tables*>(h)->n_models; }
+int64_t qvz_tables_consumed(void* h) { return static_cast<Tables*>(h)->consumed; }
+const uint32_t* qvz_tables_pair_base(void* h) { return static_cast<Tables*>(h)->pair_base.data(); }
+const int32_t* qvz_tables_ctxmap(void* h) { return static_cast<Tables*>(h)->ctxmap.data(); }
+const uint8_t* qvz_tables_qratio(void* h) { return static_cast<Tables*>(h)->qratio.data(); }
+const uint32_t* qvz_tables_model_card(void* h) { return static_cast<Tables*>(h)->model_card.data(); }
+const uint64_t* qvz_tables_model_off(void* h) { return static_cast<Tables*>(h)->model_off.data(); }
+const uint8_t* qvz_tables_model_syms(void* h) { return static_cast<Tables*>(h)->model_syms.data(); }
+uint64_t qvz_tables_model_syms_len(void* h) { return static_cast<Tables*>(h)->model_syms.size(); }
+const uint8_t* qvz_tables_qv_map(void* h) { return static_cast<Tables*>(h)->qv_map.data(); }
+const uint8_t* qvz_tables_qs_map(void* h) { return static_cast<Tables*>(h)->qs_map.data(); }
+
+// --- quantization (host fallback; the production path runs on TPU) -------
+
+void qvz_quantize(void* tables, const uint8_t* data, uint64_t n_lines,
+                  const uint8_t* cluster_ids, const uint8_t* draws,
+                  uint32_t* model_ids, uint8_t* syms, uint8_t* recon) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t cl = cluster_ids ? cluster_ids[i] : 0;
+    const uint8_t* row = data + i * columns;
+    const uint8_t* drow = draws + i * columns;
+    uint32_t* mrow = model_ids + i * columns;
+    uint8_t* srow = syms + i * columns;
+    uint8_t* rrow = recon ? recon + i * columns : nullptr;
+    uint32_t prev = 0;
+    uint64_t cbase = static_cast<uint64_t>(cl) * columns;
+    for (uint32_t col = 0; col < columns; ++col) {
+      int32_t ctx = tb->ctxmap[(cbase + col) * A + prev];
+      uint64_t p = tb->pair_base[cbase + col] + static_cast<uint32_t>(ctx);
+      uint32_t choice = drow[col] >= tb->qratio[p] ? 1u : 0u;
+      const uint8_t* qv = tb->qv_map.data() + (p * 2 + choice) * A;
+      const uint8_t* qs = tb->qs_map.data() + (p * 2 + choice) * A;
+      uint8_t d = row[col];
+      mrow[col] = 1 + 2 * static_cast<uint32_t>(p) + choice;
+      srow[col] = qs[d];
+      if (rrow) rrow[col] = qv[d];
+      prev = qv[d];
+    }
+  }
+}
+
+// --- payload encode -------------------------------------------------------
+
+// Encodes the interleaved (model, symbol) stream. Returns payload bytes,
+// or -(needed) if the output buffer is too small (retry with a larger one).
+int64_t qvz_encode_payload(const uint32_t* model_ids, const uint8_t* syms,
+                           uint64_t n_syms, const uint32_t* model_cards,
+                           uint32_t n_models, uint8_t* out, int64_t cap) {
+  ModelBank bank;
+  bank.init(model_cards, n_models);
+  BitWriter bw(out, cap);
+  Encoder enc(&bw);
+  for (uint64_t i = 0; i < n_syms; ++i) {
+    uint32_t m = model_ids[i];
+    uint32_t x = syms[i];
+    enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+    bank.update(m, x);
+  }
+  int64_t n = enc.finish();
+  if (bw.overflow) return -n;
+  return n;
+}
+
+// Line-structured encode: cluster symbol then each column's symbol, the
+// exact stream order of qv_compressor.c:76-137. model_ids/syms hold only
+// the per-column entries; cluster ids are coded with model 0.
+int64_t qvz_encode_lines(const uint8_t* cluster_ids, const uint32_t* model_ids,
+                         const uint8_t* syms, uint64_t n_lines,
+                         uint32_t columns, const uint32_t* model_cards,
+                         uint32_t n_models, uint8_t* out, int64_t cap) {
+  ModelBank bank;
+  bank.init(model_cards, n_models);
+  BitWriter bw(out, cap);
+  Encoder enc(&bw);
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    bank.update(0, c);
+    const uint32_t* mrow = model_ids + i * columns;
+    const uint8_t* srow = syms + i * columns;
+    for (uint32_t col = 0; col < columns; ++col) {
+      uint32_t m = mrow[col];
+      uint32_t x = srow[col];
+      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      bank.update(m, x);
+    }
+  }
+  int64_t n = enc.finish();
+  if (bw.overflow) return -n;
+  return n;
+}
+
+// --- full decode -----------------------------------------------------------
+
+// Decodes the payload into Phred+33 text lines with trailing newlines.
+// Returns 0 on success.
+int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
+                         uint64_t payload_len, uint64_t n_lines,
+                         const uint32_t* well_state, uint8_t* out) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  BitReader br(payload, payload_len);
+  Decoder dec(&br);
+  Well well(well_state);
+
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    bool last_line = (i + 1 == n_lines);
+    uint32_t c = dec.step(bank.counts.data() + bank.off[0], bank.total[0]);
+    bank.update(0, c);
+    if (c >= tb->n_clusters) return -1;
+    uint8_t* orow = out + i * (columns + 1);
+    uint32_t prev = 0;
+    uint64_t cbase = static_cast<uint64_t>(c) * columns;
+    for (uint32_t col = 0; col < columns; ++col) {
+      int32_t ctx = tb->ctxmap[(cbase + col) * A + prev];
+      if (ctx < 0) return -2;
+      uint64_t p = tb->pair_base[cbase + col] + static_cast<uint32_t>(ctx);
+      uint32_t choice = well.draw7() >= tb->qratio[p] ? 1u : 0u;
+      uint32_t m = 1 + 2 * static_cast<uint32_t>(p) + choice;
+      uint32_t x;
+      if (last_line && col + 1 == columns) {
+        x = dec.last(bank.counts.data() + bank.off[m], bank.total[m]);
+      } else {
+        x = dec.step(bank.counts.data() + bank.off[m], bank.total[m]);
+        bank.update(m, x);
+      }
+      uint8_t qv = tb->model_syms[tb->model_off[m] + x];
+      orow[col] = static_cast<uint8_t>(qv + 33);
+      prev = qv;
+    }
+    orow[columns] = '\n';
+  }
+  return 0;
+}
+
+}  // extern "C"

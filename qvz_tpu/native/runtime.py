@@ -1,0 +1,175 @@
+"""Numpy-facing wrapper over the native runtime library."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from qvz_tpu import native
+from qvz_tpu.constants import ALPHABET_SIZE
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_dp = ctypes.POINTER(ctypes.c_double)
+
+
+def _ptr(arr: np.ndarray, ptype):
+    return arr.ctypes.data_as(ptype)
+
+
+def well_draws7(state_words, n_draws: int) -> np.ndarray:
+    """All 7-bit dither draws from a WELL-1024a state (n=0, empty pool)."""
+    lib = native.load()
+    st = np.ascontiguousarray(state_words, dtype=np.uint32)
+    out = np.empty(n_draws, dtype=np.uint8)
+    lib.qvz_well_draws7(_ptr(st, _u32p), n_draws, _ptr(out, _u8p))
+    return out
+
+
+class Tables:
+    """Flat coding tables (see qvz_rt.cpp Tables). Owns the C++ handle."""
+
+    def __init__(self, handle, lib, columns: int, n_clusters: int):
+        self._h = handle
+        self._lib = lib
+        self.columns = columns
+        self.n_clusters = n_clusters
+        self.n_pairs = lib.qvz_tables_n_pairs(handle)
+        self.n_models = lib.qvz_tables_n_models(handle)
+        self.consumed = lib.qvz_tables_consumed(handle)
+        n_cols_total = n_clusters * columns
+
+        def view(fn, dtype, shape):
+            # Zero-copy views into C++-owned storage; kept alive by self._h.
+            ptr = fn(handle)
+            size = int(np.prod(shape))
+            return np.ctypeslib.as_array(ptr, shape=(size,)).reshape(shape)
+
+        self.pair_base = view(lib.qvz_tables_pair_base, np.uint32,
+                              (n_cols_total,))
+        self.ctxmap = view(lib.qvz_tables_ctxmap, np.int32,
+                           (n_cols_total, ALPHABET_SIZE))
+        self.qratio = view(lib.qvz_tables_qratio, np.uint8, (self.n_pairs,))
+        self.model_card = view(lib.qvz_tables_model_card, np.uint32,
+                               (self.n_models,))
+        self.model_off = view(lib.qvz_tables_model_off, np.uint64,
+                              (self.n_models + 1,))
+        syms_len = lib.qvz_tables_model_syms_len(handle)
+        self.model_syms = view(lib.qvz_tables_model_syms, np.uint8,
+                               (syms_len,))
+        self.qv_map = view(lib.qvz_tables_qv_map, np.uint8,
+                           (self.n_pairs * 2, ALPHABET_SIZE))
+        self.qs_map = view(lib.qvz_tables_qs_map, np.uint8,
+                           (self.n_pairs * 2, ALPHABET_SIZE))
+
+    def __del__(self):
+        try:
+            self._lib.qvz_tables_free(self._h)
+        except Exception:
+            pass
+
+
+class Design:
+    """Designed codebooks for all clusters. Owns the C++ handle."""
+
+    def __init__(self, counts0: np.ndarray, cond_counts: np.ndarray,
+                 mode: int, ratio: float, dist: np.ndarray):
+        lib = native.load()
+        self._lib = lib
+        n_clusters, a = counts0.shape
+        assert a == ALPHABET_SIZE
+        columns = cond_counts.shape[1] + 1
+        c0 = np.ascontiguousarray(counts0, dtype=np.uint64)
+        cc = np.ascontiguousarray(cond_counts, dtype=np.uint64)
+        d = np.ascontiguousarray(dist, dtype=np.float64)
+        self._h = lib.qvz_design_create(
+            _ptr(c0, _u64p), _ptr(cc, _u64p), n_clusters, columns,
+            mode, ratio, _ptr(d, _dp))
+        self.columns = columns
+        self.n_clusters = n_clusters
+
+    def serialized(self) -> bytes:
+        n = self._lib.qvz_design_serialized_size(self._h)
+        out = np.empty(n, dtype=np.uint8)
+        self._lib.qvz_design_serialized(self._h, _ptr(out, _u8p))
+        return out.tobytes()
+
+    def tables(self) -> Tables:
+        h = self._lib.qvz_tables_from_design(self._h)
+        return Tables(h, self._lib, self.columns, self.n_clusters)
+
+    def __del__(self):
+        try:
+            self._lib.qvz_design_free(self._h)
+        except Exception:
+            pass
+
+
+def tables_from_blocks(blocks: bytes, n_clusters: int,
+                       columns: int) -> Tables:
+    lib = native.load()
+    buf = np.frombuffer(blocks, dtype=np.uint8)
+    h = lib.qvz_tables_from_blocks(_ptr(buf, _u8p), len(blocks),
+                                   n_clusters, columns)
+    if not h:
+        raise ValueError("malformed codebook blocks")
+    return Tables(h, lib, columns, n_clusters)
+
+
+def quantize(tables: Tables, data: np.ndarray, cluster_ids, draws,
+             want_recon: bool = True):
+    """Host quantization pass -> (model_ids, syms, recon)."""
+    lib = native.load()
+    n, cols = data.shape
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    draws = np.ascontiguousarray(draws, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    model_ids = np.empty((n, cols), dtype=np.uint32)
+    syms = np.empty((n, cols), dtype=np.uint8)
+    recon = np.empty((n, cols), dtype=np.uint8) if want_recon else None
+    lib.qvz_quantize(
+        tables._h, _ptr(data, _u8p), n,
+        _ptr(cl, _u8p) if cl is not None else None,
+        _ptr(draws, _u8p), _ptr(model_ids, _u32p), _ptr(syms, _u8p),
+        _ptr(recon, _u8p) if recon is not None else None)
+    return model_ids, syms, recon
+
+
+def encode_lines(tables: Tables, cluster_ids, model_ids: np.ndarray,
+                 syms: np.ndarray) -> bytes:
+    """Arithmetic-code the full stream in reference order."""
+    lib = native.load()
+    n, cols = model_ids.shape
+    model_ids = np.ascontiguousarray(model_ids, dtype=np.uint32)
+    syms = np.ascontiguousarray(syms, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    cards = np.ascontiguousarray(tables.model_card, dtype=np.uint32)
+    cap = n * cols + (n * cols) // 2 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.qvz_encode_lines(
+            _ptr(cl, _u8p) if cl is not None else None,
+            _ptr(model_ids, _u32p), _ptr(syms, _u8p), n, cols,
+            _ptr(cards, _u32p), tables.n_models, _ptr(out, _u8p), cap)
+        if r >= 0:
+            return out[:r].tobytes()
+        cap = -r + 4096
+
+
+def decode_lines(tables: Tables, payload: bytes, n_lines: int,
+                 well_state_words) -> np.ndarray:
+    """Decode the payload to Phred+33 text bytes with newlines."""
+    lib = native.load()
+    cols = tables.columns
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
+    r = lib.qvz_decode_lines(tables._h, _ptr(pay, _u8p), len(pay),
+                             n_lines, _ptr(st, _u32p), _ptr(out, _u8p))
+    if r != 0:
+        raise ValueError(f"decode failed with status {r}")
+    return out.reshape(n_lines, cols + 1)
