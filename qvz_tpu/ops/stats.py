@@ -1,0 +1,83 @@
+"""Conditional statistics on device (reference: src/codebook.c:185-220).
+
+The reference walks every line incrementing per-(cluster, column, prev,
+cur) counters. Here the same counts come from one-hot int8 matmuls that
+map onto the MXU: for each column, counts[(cluster, prev), cur] =
+onehot(cluster*72+prev)^T @ onehot(cur), accumulated in int32 (exact).
+
+Counts are exact integers, so any reduction order is parity-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qvz_tpu.constants import ALPHABET_SIZE
+
+# Per-cell counts must stay below int32; 71 * chunk < 2^31 always holds for
+# the count itself (counts are bounded by chunk lines).
+_CHUNK = 8_000_000
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _hist_device(data_t: jnp.ndarray, clusters: jnp.ndarray,
+                 n_clusters: int):
+    """data_t: (cols, N) int32; clusters: (N,) int32.
+
+    Returns (counts0 (C, 72) int32, cond (cols-1, C*72, 72) int32).
+    """
+    A = ALPHABET_SIZE
+    ca = n_clusters * A
+    n = data_t.shape[1]
+
+    base = clusters * A  # (N,)
+    cluster_rows = jnp.arange(ca, dtype=jnp.int32)
+    sym_cols = jnp.arange(A, dtype=jnp.int32)
+
+    # Column-0 histogram per cluster.
+    idx0 = base + data_t[0]
+    counts0 = jax.ops.segment_sum(
+        jnp.ones((n,), dtype=jnp.int32), idx0, num_segments=ca
+    ).reshape(n_clusters, A)
+
+    def step(carry, cols_pair):
+        prev_col, cur_col = cols_pair
+        prev_oh = (
+            (base + prev_col)[:, None] == cluster_rows[None, :]
+        ).astype(jnp.int8)
+        cur_oh = (cur_col[:, None] == sym_cols[None, :]).astype(jnp.int8)
+        h = jax.lax.dot_general(
+            prev_oh, cur_oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return carry, h
+
+    _, cond = jax.lax.scan(step, 0, (data_t[:-1], data_t[1:]))
+    return counts0, cond
+
+
+def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
+                       n_clusters: int):
+    """Host API matching qvz_tpu.spec.stats.conditional_counts.
+
+    Chunks the reads axis so per-cell int32 counts cannot overflow, and
+    accumulates chunk results in int64 on host.
+    """
+    A = ALPHABET_SIZE
+    n, cols = data.shape
+    if clusters is None:
+        clusters = np.zeros(n, dtype=np.uint8)
+    counts0 = np.zeros((n_clusters, A), dtype=np.int64)
+    cond = np.zeros((n_clusters, cols - 1, A, A), dtype=np.int64)
+    for s in range(0, n, _CHUNK):
+        e = min(n, s + _CHUNK)
+        dt = jnp.asarray(data[s:e].T, dtype=jnp.int32)
+        cl = jnp.asarray(clusters[s:e], dtype=jnp.int32)
+        c0, cd = _hist_device(dt, cl, n_clusters)
+        counts0 += np.asarray(c0, dtype=np.int64)
+        cd = np.asarray(cd, dtype=np.int64)  # (cols-1, C*72, 72)
+        cond += cd.reshape(cols - 1, n_clusters, A, A).transpose(1, 0, 2, 3)
+    return counts0, cond
