@@ -1,0 +1,202 @@
+"""Command-line interface, flag-compatible with reference qvz.
+
+Usage: python -m qvz_tpu (options) [input file] [output file]
+
+Flags mirror src/main.c:166-184 (-q/-x/-f/-r/-d/-D/-c/-T/-u/-h/-s/-v)
+plus framework extensions:
+  --debug-seed     fixed WELL state (reference `make debug` behavior)
+  --well-state F   load the 128-byte WELL state from a file
+  --no-jax         host-only pipeline (no device required)
+
+Documented divergence from the reference: when neither -f nor -r is
+given, the mode defaults to MODE_RATIO with ratio 0.5 (the reference
+leaves opts.mode uninitialized, src/main.c:198-204).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from qvz_tpu.constants import (
+    DISTORTION_CUSTOM,
+    DISTORTION_LORENTZ,
+    DISTORTION_MANHATTAN,
+    DISTORTION_MSE,
+    MODE_FIXED,
+    MODE_RATIO,
+)
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+
+
+def usage(name: str) -> None:
+    print(f"Usage: {name} (options) [input file] [output file]")
+    print("Options are:")
+    print("   -q           : Store quality values in compressed file (default)")
+    print("   -x           : Extract quality values from compressed file")
+    print("   -f [ratio]   : Compress using [ratio] bits per bit of input entropy per symbol")
+    print("   -r [rate]    : Compress using fixed [rate] bits per symbol")
+    print("   -d [M|L|A]   : Optimize for MSE, Log(1+L1), L1 distortions, respectively (default: MSE)")
+    print("   -D [FILE]    : Optimize using the custom distortion matrix specified in FILE")
+    print("   -c [#]       : Compress using [#] clusters (default: 1)")
+    print("   -T [#]       : Use [#] as a threshold for cluster center movement (default: 4)")
+    print("   -u [FILE]    : Write the uncompressed lossy values to FILE (default: off)")
+    print("   -h           : Print this help")
+    print("   -s           : Print summary stats")
+    print("   -v           : Enable verbose output")
+    print("   --debug-seed : Use the fixed WELL seed (reproducible bitstreams)")
+    print("   --well-state F : Load a raw 128-byte WELL state from F")
+    print("   --no-jax     : Run the host-only pipeline (no accelerator)")
+
+
+def _make_well(opts) -> WellState:
+    if opts.get("well_state_file"):
+        return WellState.from_bytes(
+            open(opts["well_state_file"], "rb").read(128))
+    if opts.get("debug_seed"):
+        return WellState.debug()
+    # Reference behavior: srand(time(0)) then 32 rand() draws
+    # (qv_stream.c:76-84); we use os.urandom for better seeding.
+    words = np.frombuffer(os.urandom(128), dtype="<u4")
+    return WellState(words.tolist())
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    name = argv[0] if argv else "qvz_tpu"
+    opts = {
+        "verbose": False, "stats": False, "ratio": 0.5, "clusters": 1,
+        "uncompressed": None, "distortion": DISTORTION_MSE,
+        "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
+        "debug_seed": False, "well_state_file": None, "use_jax": True,
+    }
+    extract = False
+    files = []
+
+    i = 1
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-"):
+            files.append(a)
+            i += 1
+            continue
+        if a == "-x":
+            extract = True
+            i += 1
+        elif a == "-q":
+            extract = False
+            i += 1
+        elif a == "-f":
+            opts["ratio"] = float(argv[i + 1])
+            opts["mode"] = MODE_RATIO
+            i += 2
+        elif a == "-r":
+            opts["ratio"] = float(argv[i + 1])
+            opts["mode"] = MODE_FIXED
+            i += 2
+        elif a == "-c":
+            opts["clusters"] = int(argv[i + 1])
+            i += 2
+        elif a == "-T":
+            opts["cluster_threshold"] = float(int(argv[i + 1]))
+            i += 2
+        elif a == "-v":
+            opts["verbose"] = True
+            i += 1
+        elif a == "-s":
+            opts["stats"] = True
+            i += 1
+        elif a == "-u":
+            opts["uncompressed"] = argv[i + 1]
+            i += 2
+        elif a == "-d":
+            sel = argv[i + 1][0]
+            if sel == "M":
+                opts["distortion"] = DISTORTION_MSE
+            elif sel == "L":
+                opts["distortion"] = DISTORTION_LORENTZ
+            elif sel == "A":
+                opts["distortion"] = DISTORTION_MANHATTAN
+            else:
+                print("Distortion measure not supported, using MSE.")
+            i += 2
+        elif a == "-D":
+            opts["distortion"] = DISTORTION_CUSTOM
+            opts["dist_file"] = argv[i + 1]
+            i += 2
+        elif a == "--debug-seed":
+            opts["debug_seed"] = True
+            i += 1
+        elif a == "--well-state":
+            opts["well_state_file"] = argv[i + 1]
+            i += 2
+        elif a == "--no-jax":
+            opts["use_jax"] = False
+            i += 1
+        elif a == "-h":
+            usage(name)
+            return 0
+        else:
+            print(f"Unrecognized option {a}.")
+            usage(name)
+            return 1
+
+    if len(files) != 2:
+        print("Missing required filenames.")
+        usage(name)
+        return 1
+    input_name, output_name = files
+
+    if extract:
+        from qvz_tpu.pipeline import decode as dec_mod
+        t0 = time.perf_counter()
+        compressed = open(input_name, "rb").read()
+        n = dec_mod.decode_to_file(compressed, output_name)
+        if opts["verbose"]:
+            print(f"Decoded {n} lines in {time.perf_counter() - t0:.4f} "
+                  f"seconds.")
+        return 0
+
+    from qvz_tpu.pipeline import encode as enc_mod
+    from qvz_tpu.spec.pipeline import load_quality_file, lines_to_bytes
+
+    t0 = time.perf_counter()
+    dist = make_matrix(opts["distortion"], path=opts["dist_file"])
+    data = load_quality_file(input_name)
+    out = enc_mod.encode(
+        data, dist, n_clusters=opts["clusters"], mode=opts["mode"],
+        ratio=opts["ratio"], cluster_threshold=opts["cluster_threshold"],
+        well_state=_make_well(opts), use_jax=opts["use_jax"],
+        want_recon=True)
+    with open(output_name, "wb") as f:
+        f.write(out.compressed)
+    if opts["uncompressed"]:
+        with open(opts["uncompressed"], "wb") as f:
+            f.write(lines_to_bytes(out.reconstructed))
+    elapsed = time.perf_counter() - t0
+
+    if opts["verbose"]:
+        labels = {DISTORTION_MSE: "MSE", DISTORTION_LORENTZ: "log(1+L1)",
+                  DISTORTION_MANHATTAN: "L1", DISTORTION_CUSTOM: "Custom"}
+        print(f"{labels[opts['distortion']]} distortion: "
+              f"{out.stats.distortion:f}")
+        print(f"Lines: {out.stats.lines}")
+        print(f"Columns: {out.stats.columns}")
+        print(f"Total bytes used: {out.stats.payload_bytes}")
+        for phase, sec in out.stats.phase_seconds.items():
+            print(f"  {phase}: {sec:.4f}s")
+        print(f"Encoding took {elapsed:.4f} seconds.")
+    if opts["stats"]:
+        # Machine-parseable line, format-compatible with main.c:125.
+        print(f"rate, {out.stats.rate:.4f}, distortion, "
+              f"{out.stats.distortion:.4f}, time, {elapsed:.4f}, size, "
+              f"{out.stats.payload_bytes} ")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""Sharded (multi-chip) pipeline steps via shard_map + integer psum.
+
+All collective payloads are exact integers (histogram counts, centroid
+accumulators), so N-device results are bit-identical to 1-device results
+-- the multi-host determinism requirement of SURVEY.md section 2.
+
+Padding: the reads axis is padded to a multiple of the mesh size with
+masked-out rows (valid=0) that contribute nothing to any reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from qvz_tpu.constants import ALPHABET_SIZE
+from qvz_tpu.parallel.mesh import READS_AXIS, pad_to_multiple
+
+A = ALPHABET_SIZE
+
+
+def _local_hist(data_t, clusters, valid, n_clusters):
+    """Shard-local histograms; see ops/stats.py for the kernel shape."""
+    ca = n_clusters * A
+    n = data_t.shape[1]
+    base = clusters * A
+    cluster_rows = jnp.arange(ca, dtype=jnp.int32)
+    sym_cols = jnp.arange(A, dtype=jnp.int32)
+
+    idx0 = jnp.where(valid, base + data_t[0], ca)  # pad rows -> dummy seg
+    counts0 = jax.ops.segment_sum(
+        jnp.ones((n,), dtype=jnp.int32), idx0,
+        num_segments=ca + 1)[:ca].reshape(n_clusters, A)
+
+    def step(carry, cols_pair):
+        prev_col, cur_col = cols_pair
+        prev_oh = ((base + prev_col)[:, None] == cluster_rows[None, :])
+        prev_oh = (prev_oh & valid[:, None]).astype(jnp.int8)
+        cur_oh = (cur_col[:, None] == sym_cols[None, :]).astype(jnp.int8)
+        h = jax.lax.dot_general(
+            prev_oh, cur_oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return carry, h
+
+    _, cond = jax.lax.scan(step, 0, (data_t[:-1], data_t[1:]))
+    return counts0, cond
+
+
+def _local_kmeans_assign(data_t, means, valid, n_clusters):
+    """Shard-local assignment + accumulators (exact integers)."""
+    d = data_t.T.astype(jnp.int32)  # (n, cols)
+    x_sq = jnp.sum(d * d, axis=1, dtype=jnp.int32)
+    xm = jax.lax.dot_general(
+        d.astype(jnp.int8), means.astype(jnp.int8).T,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    m_sq = jnp.sum(means * means, axis=1, dtype=jnp.int32)
+    dist = x_sq[:, None] - 2 * xm + m_sq[None, :]
+    assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    seg = jnp.where(valid, assign, n_clusters)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(assign), seg, num_segments=n_clusters + 1)[:-1]
+    acc = jax.ops.segment_sum(d, seg, num_segments=n_clusters + 1)[:-1]
+    return assign, counts, acc
+
+
+def make_sharded_stats(mesh, n_clusters: int):
+    """Returns fn(data_t (cols, Npad), clusters, valid) -> global counts."""
+
+    def step(data_t, clusters, valid):
+        c0, cond = _local_hist(data_t, clusters, valid, n_clusters)
+        c0 = jax.lax.psum(c0, READS_AXIS)
+        cond = jax.lax.psum(cond, READS_AXIS)
+        return c0, cond
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_kmeans_step(mesh, n_clusters: int):
+    """Returns fn(data_t, means, valid) -> (assign, new_means, moved)."""
+
+    def step(data_t, means, valid):
+        assign, counts, acc = _local_kmeans_assign(
+            data_t, means, valid, n_clusters)
+        counts = jax.lax.psum(counts, READS_AXIS)
+        acc = jax.lax.psum(acc, READS_AXIS)
+        new_means = acc // jnp.maximum(counts, 1)[:, None]
+        diff = (new_means - means).astype(jnp.float32)
+        moved = jnp.max(jnp.sum(diff * diff, axis=1))
+        return assign, new_means, moved
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, READS_AXIS), P(), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(), P()),
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_quantize(mesh, columns: int):
+    """Returns fn(data_t, draws_t, cluster_base, *tables) -> per-symbol ids.
+
+    Pure map over reads; no collectives. Tables replicated.
+    """
+    from qvz_tpu.ops.quantize import _quantize_device
+
+    def step(data_t, draws_t, cluster_base, ctxmap, pair_base, qratio,
+             qv_flat, qs_flat):
+        return _quantize_device(data_t, draws_t, cluster_base, columns,
+                                ctxmap, pair_base, qratio, qv_flat, qs_flat)
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, READS_AXIS), P(None, READS_AXIS), P(READS_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(None, READS_AXIS),) * 3,
+    )
+    return jax.jit(fn)
+
+
+def pad_reads(arr: np.ndarray, n_shards: int, axis: int = 0):
+    """Pad the reads axis to a shard multiple; returns (padded, valid)."""
+    n = arr.shape[axis]
+    npad = pad_to_multiple(n, n_shards)
+    valid = np.zeros(npad, dtype=bool)
+    valid[:n] = True
+    if npad == n:
+        return arr, valid
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, npad - n)
+    return np.pad(arr, widths), valid
+
+
+def sharded_conditional_counts(mesh, data: np.ndarray, clusters, n_clusters):
+    """Host API: sharded equivalent of ops.stats.conditional_counts."""
+    n, cols = data.shape
+    n_shards = mesh.devices.size
+    if clusters is None:
+        clusters = np.zeros(n, dtype=np.uint8)
+    dpad, valid = pad_reads(data, n_shards)
+    cpad, _ = pad_reads(np.asarray(clusters), n_shards)
+    fn = make_sharded_stats(mesh, n_clusters)
+    c0, cond = fn(jnp.asarray(dpad.T, dtype=jnp.int32),
+                  jnp.asarray(cpad, dtype=jnp.int32),
+                  jnp.asarray(valid))
+    c0 = np.asarray(c0, dtype=np.int64)
+    cond = np.asarray(cond, dtype=np.int64)
+    return c0, cond.reshape(cols - 1, n_clusters, A, A).transpose(1, 0, 2, 3)

@@ -6,12 +6,20 @@ Must set the environment before jax is imported anywhere.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment presets an accelerator platform
+# (e.g. JAX_PLATFORMS=axon on TPU test hosts, whose sitecustomize calls
+# jax.config.update with the plugin platform -- overriding the env var,
+# so we must override via jax.config as well).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
