@@ -6,7 +6,7 @@ Flags mirror src/main.c:166-184 (-q/-x/-f/-r/-d/-D/-c/-T/-u/-h/-s/-v)
 plus framework extensions:
   --debug-seed     fixed WELL state (reference `make debug` behavior)
   --well-state F   load the 128-byte WELL state from a file
-  --no-jax         host-only pipeline (no device required)
+  --no-jax / --jax  force host-only / device pipeline (default: auto)
 
 Documented divergence from the reference: when neither -f nor -r is
 given, the mode defaults to MODE_RATIO with ratio 0.5 (the reference
@@ -50,7 +50,8 @@ def usage(name: str) -> None:
     print("   -v           : Enable verbose output")
     print("   --debug-seed : Use the fixed WELL seed (reproducible bitstreams)")
     print("   --well-state F : Load a raw 128-byte WELL state from F")
-    print("   --no-jax     : Run the host-only pipeline (no accelerator)")
+    print("   --no-jax     : Force the host-only pipeline (no accelerator)")
+    print("   --jax        : Force the device pipeline (default: auto by input size)")
 
 
 def _make_well(opts) -> WellState:
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
         "verbose": False, "stats": False, "ratio": 0.5, "clusters": 1,
         "uncompressed": None, "distortion": DISTORTION_MSE,
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
-        "debug_seed": False, "well_state_file": None, "use_jax": True,
+        "debug_seed": False, "well_state_file": None, "use_jax": "auto",
     }
     extract = False
     files = []
@@ -136,6 +137,9 @@ def main(argv=None) -> int:
             i += 2
         elif a == "--no-jax":
             opts["use_jax"] = False
+            i += 1
+        elif a == "--jax":
+            opts["use_jax"] = True
             i += 1
         elif a == "-h":
             usage(name)

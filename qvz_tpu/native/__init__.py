@@ -117,6 +117,13 @@ def load() -> ctypes.CDLL:
         c.c_int64]
     lib.qvz_encode_lines.restype = c.c_int64
 
+    lib.qvz_stats.argtypes = [u8p, c.c_uint64, c.c_uint32, u8p, u64p, u64p]
+    lib.qvz_stats.restype = None
+
+    lib.qvz_encode_fused.argtypes = [
+        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p, c.c_int64]
+    lib.qvz_encode_fused.restype = c.c_int64
+
     lib.qvz_decode_lines.argtypes = [
         c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p]
     lib.qvz_decode_lines.restype = c.c_int32

@@ -950,6 +950,83 @@ int64_t qvz_encode_lines(const uint8_t* cluster_ids, const uint32_t* model_ids,
   return n;
 }
 
+// --- host statistics ------------------------------------------------------
+
+// Single-pass conditional histogram (codebook.c:185-203 semantics). Host
+// fallback for when the device path isn't beneficial (small inputs or a
+// slow host<->device link). counts0: [n_clusters*A] u64; cond:
+// [n_clusters*(columns-1)*A*A] u64, both zero-initialized by the caller.
+void qvz_stats(const uint8_t* data, uint64_t n_lines, uint32_t columns,
+               const uint8_t* cluster_ids, uint64_t* counts0,
+               uint64_t* cond) {
+  uint64_t cond_stride = static_cast<uint64_t>(columns - 1) * A * A;
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+    const uint8_t* row = data + i * columns;
+    counts0[static_cast<uint64_t>(c) * A + row[0]] += 1;
+    uint64_t* cc = cond + static_cast<uint64_t>(c) * cond_stride;
+    for (uint32_t col = 1; col < columns; ++col) {
+      cc[(static_cast<uint64_t>(col - 1) * A + row[col - 1]) * A +
+         row[col]] += 1;
+    }
+  }
+}
+
+// --- fused encode ---------------------------------------------------------
+
+// Quantize + arithmetic-code in ONE pass over the data with inline WELL
+// draws (replaces qvz_quantize + qvz_encode_lines and the draws buffer).
+// Optionally accumulates distortion (dist row-major [A*A], d(x,y) at
+// x*A+y; pass null to skip) and writes the lossy reconstruction (recon,
+// [n_lines*columns] symbols; pass null to skip). distortion_out receives
+// sum over lines of (per-line distortion sum / columns). Returns payload
+// bytes, or -(needed) if the output buffer is too small.
+int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
+                         const uint8_t* cluster_ids,
+                         const uint32_t* well_state, const double* dist,
+                         uint8_t* recon, double* distortion_out,
+                         uint8_t* out, int64_t cap) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  BitWriter bw(out, cap);
+  Encoder enc(&bw);
+  Well well(well_state);
+  double total_d = 0.0;
+
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    bank.update(0, c);
+    const uint8_t* row = data + i * columns;
+    uint8_t* rrow = recon ? recon + i * columns : nullptr;
+    uint32_t prev = 0;
+    uint64_t cbase = static_cast<uint64_t>(c) * columns;
+    double line_d = 0.0;
+    for (uint32_t col = 0; col < columns; ++col) {
+      int32_t ctx = tb->ctxmap[(cbase + col) * A + prev];
+      uint64_t p = tb->pair_base[cbase + col] + static_cast<uint32_t>(ctx);
+      uint32_t choice = well.draw7() >= tb->qratio[p] ? 1u : 0u;
+      uint64_t pc = p * 2 + choice;
+      uint8_t d = row[col];
+      uint8_t qv = tb->qv_map[pc * A + d];
+      uint32_t x = tb->qs_map[pc * A + d];
+      uint32_t m = static_cast<uint32_t>(1 + pc);
+      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      bank.update(m, x);
+      if (dist) line_d += dist[static_cast<uint32_t>(d) * A + qv];
+      if (rrow) rrow[col] = qv;
+      prev = qv;
+    }
+    total_d += line_d / columns;
+  }
+  if (distortion_out) *distortion_out = total_d;
+  int64_t n = enc.finish();
+  if (bw.overflow) return -n;
+  return n;
+}
+
 // --- full decode -----------------------------------------------------------
 
 // Decodes the payload into Phred+33 text lines with trailing newlines.

@@ -160,6 +160,61 @@ def encode_lines(tables: Tables, cluster_ids, model_ids: np.ndarray,
         cap = -r + 4096
 
 
+def stats_host(data: np.ndarray, clusters: np.ndarray | None,
+               n_clusters: int):
+    """Single-pass C++ conditional histogram (codebook.c:185-203).
+
+    API-compatible with qvz_tpu.spec.stats.conditional_counts.
+    """
+    lib = native.load()
+    n, cols = data.shape
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    cl = (np.ascontiguousarray(clusters, dtype=np.uint8)
+          if clusters is not None else None)
+    counts0 = np.zeros((n_clusters, ALPHABET_SIZE), dtype=np.uint64)
+    cond = np.zeros((n_clusters, cols - 1, ALPHABET_SIZE, ALPHABET_SIZE),
+                    dtype=np.uint64)
+    lib.qvz_stats(_ptr(data, _u8p), n, cols,
+                  _ptr(cl, _u8p) if cl is not None else None,
+                  _ptr(counts0, _u64p), _ptr(cond, _u64p))
+    return counts0.astype(np.int64), cond.astype(np.int64)
+
+
+def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
+                 well_state_words, dist: np.ndarray | None = None,
+                 want_recon: bool = False):
+    """Fused quantize + arithmetic encode (inline WELL draws).
+
+    Returns (payload bytes, recon or None, distortion_sum). The
+    distortion_sum is sum over lines of per-line mean column distortion
+    (divide by n_lines for the reference's -v/-s figure); 0.0 when dist
+    is None.
+    """
+    lib = native.load()
+    n, cols = data.shape
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    d = (np.ascontiguousarray(dist, dtype=np.float64)
+         if dist is not None else None)
+    recon = np.empty((n, cols), dtype=np.uint8) if want_recon else None
+    dsum = ctypes.c_double(0.0)
+    cap = n * cols + (n * cols) // 2 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.qvz_encode_fused(
+            tables._h, _ptr(data, _u8p), n,
+            _ptr(cl, _u8p) if cl is not None else None,
+            _ptr(st, _u32p),
+            _ptr(d, _dp) if d is not None else None,
+            _ptr(recon, _u8p) if recon is not None else None,
+            ctypes.byref(dsum), _ptr(out, _u8p), cap)
+        if r >= 0:
+            return out[:r].tobytes(), recon, dsum.value
+        cap = -r + 4096
+
+
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
                  well_state_words) -> np.ndarray:
     """Decode the payload to Phred+33 text bytes with newlines."""

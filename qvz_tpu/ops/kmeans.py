@@ -23,12 +23,14 @@ from qvz_tpu.spec.kmeans import seed_centroids
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))
-def _kmeans_step(data_i8: jnp.ndarray, x_sq: jnp.ndarray,
-                 data_i32: jnp.ndarray, means: jnp.ndarray,
+def _kmeans_step(data_u8: jnp.ndarray, means: jnp.ndarray,
                  n_clusters: int):
-    """One Lloyd iteration. data_i8: (N, cols) int8; x_sq: (N,) int32;
-    data_i32: (N, cols) int32; means: (K, cols) int32.
+    """One Lloyd iteration. data_u8: (N, cols) uint8 (raw symbols,
+    transferred once and widened on device); means: (K, cols) int32.
     Returns (assign (N,) int32, new_means, moved (f32 scalar))."""
+    data_i8 = data_u8.astype(jnp.int8)   # symbols < 72 fit int8 exactly
+    data_i32 = data_u8.astype(jnp.int32)
+    x_sq = jnp.sum(data_i32 * data_i32, axis=1, dtype=jnp.int32)
     m_i8 = means.astype(jnp.int8)
     # -2 x.m term: int8 x int8 -> int32 exact on the MXU.
     xm = jax.lax.dot_general(
@@ -57,16 +59,13 @@ def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
         return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
 
     means_np = seed_centroids(data, n_clusters, rand)
-    data_i8 = jnp.asarray(data, dtype=jnp.int8)
-    data_i32 = jnp.asarray(data, dtype=jnp.int32)
-    x_sq = jnp.sum(data_i32 * data_i32, axis=1, dtype=jnp.int32)
+    data_u8 = jnp.asarray(data, dtype=jnp.uint8)
     means = jnp.asarray(means_np, dtype=jnp.int32)
 
     iters = 0
     assign = None
     while iters < MAX_KMEANS_ITERATIONS:
-        assign, means, moved = _kmeans_step(
-            data_i8, x_sq, data_i32, means, n_clusters)
+        assign, means, moved = _kmeans_step(data_u8, means, n_clusters)
         iters += 1
         if float(moved) <= threshold:
             break

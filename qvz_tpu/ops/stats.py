@@ -24,15 +24,19 @@ _CHUNK = 8_000_000
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))
-def _hist_device(data_t: jnp.ndarray, clusters: jnp.ndarray,
+def _hist_device(data_u8: jnp.ndarray, clusters_u8: jnp.ndarray,
                  n_clusters: int):
-    """data_t: (cols, N) int32; clusters: (N,) int32.
+    """data_u8: (N, cols) uint8; clusters_u8: (N,) uint8.
 
-    Returns (counts0 (C, 72) int32, cond (cols-1, C*72, 72) int32).
+    The raw bytes are transferred as-is (4x less traffic than int32) and
+    widened on device. Returns (counts0 (C, 72) int32,
+    cond (cols-1, C*72, 72) int32).
     """
     A = ALPHABET_SIZE
     ca = n_clusters * A
-    n = data_t.shape[1]
+    n = data_u8.shape[0]
+    data_t = data_u8.T.astype(jnp.int32)
+    clusters = clusters_u8.astype(jnp.int32)
 
     base = clusters * A  # (N,)
     cluster_rows = jnp.arange(ca, dtype=jnp.int32)
@@ -74,8 +78,8 @@ def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
     cond = np.zeros((n_clusters, cols - 1, A, A), dtype=np.int64)
     for s in range(0, n, _CHUNK):
         e = min(n, s + _CHUNK)
-        dt = jnp.asarray(data[s:e].T, dtype=jnp.int32)
-        cl = jnp.asarray(clusters[s:e], dtype=jnp.int32)
+        dt = jnp.asarray(np.ascontiguousarray(data[s:e]), dtype=jnp.uint8)
+        cl = jnp.asarray(clusters[s:e], dtype=jnp.uint8)
         c0, cd = _hist_device(dt, cl, n_clusters)
         counts0 += np.asarray(c0, dtype=np.int64)
         cd = np.asarray(cd, dtype=np.int64)  # (cols-1, C*72, 72)

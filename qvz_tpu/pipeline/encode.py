@@ -5,12 +5,17 @@ heavy per-read passes on TPU and exact-semantics host steps in C++:
 
   1. load quality file                      (numpy, host)
   2. k-means clustering                     (JAX on device; numpy fallback)
-  3. conditional statistics                 (JAX on device; numpy fallback)
+  3. conditional statistics                 (JAX on device; C++ fallback)
   4. codebook design                        (C++, exact doubles)
-  5. WELL dither draws                      (C++)
-  6. quantization pass                      (JAX on device; C++ fallback)
-  7. adaptive arithmetic coding             (C++, sequential parity mode)
-  8. container assembly                     (host)
+  5. fused quantize + WELL dither + coding  (C++, single sequential pass)
+  6. container assembly                     (host)
+
+The bit-exact container interleaves every line into ONE adaptive
+arithmetic stream (qv_compressor.c:76-137), so the coding pass is
+inherently sequential; fusing quantization + dithering + coding into one
+C++ pass avoids materializing per-symbol model ids and dither draws. The
+device quantization kernel (ops/quantize.py) remains the production path
+for the sharded throughput mode, where each shard owns its own stream.
 """
 
 from __future__ import annotations
@@ -25,7 +30,6 @@ from qvz_tpu.format import container
 from qvz_tpu.native import runtime as rt
 from qvz_tpu.ops.well import WellState
 from qvz_tpu.spec import kmeans as np_kmeans
-from qvz_tpu.spec import stats as np_stats
 from qvz_tpu.spec.pipeline import lines_to_bytes, load_quality_file  # noqa: F401
 
 
@@ -47,13 +51,26 @@ class EncodeOutput:
     stats: EncodeStats
 
 
+def _device_worthwhile(n_bytes: int) -> bool:
+    """Auto-dispatch policy: run the batched passes on the accelerator
+    only when the input is large enough to amortize host<->device
+    transfer and compile latency; below the threshold the C++ host
+    kernels win. Tunable per deployment via QVZ_TPU_DEVICE_MIN_BYTES
+    (bytes; 0 forces the device path on)."""
+    import os
+    thresh = int(os.environ.get("QVZ_TPU_DEVICE_MIN_BYTES", 256 * 2**20))
+    return n_bytes >= thresh
+
+
 def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            n_clusters: int = 1, mode: int = MODE_RATIO, ratio: float = 0.5,
            cluster_threshold: float = 4.0,
            well_state: WellState | None = None,
-           use_jax: bool = True,
+           use_jax: bool | str = "auto",
            want_recon: bool = True) -> EncodeOutput:
     n, columns = data.shape
+    if use_jax == "auto":
+        use_jax = _device_worthwhile(data.nbytes)
     if well_state is None:
         well_state = WellState.debug()
     stats = EncodeStats(lines=n, columns=columns)
@@ -81,8 +98,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
         counts0, cond_counts = jx_stats.conditional_counts(
             data, cluster_arr, n_clusters)
     else:
-        counts0, cond_counts = np_stats.conditional_counts(
-            data, cluster_arr, n_clusters)
+        counts0, cond_counts = rt.stats_host(data, cluster_arr, n_clusters)
     t2 = time.perf_counter()
     stats.phase_seconds["stats"] = t2 - t1
 
@@ -94,36 +110,20 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     t3 = time.perf_counter()
     stats.phase_seconds["design"] = t3 - t2
 
-    # --- dither + quantization ------------------------------------------------
+    # --- fused quantize + dither + entropy coding -----------------------------
     well_bytes = well_state.to_bytes()
     order = [(well_state.n + i) & 31 for i in range(32)]
     state_words = np.asarray(well_state.state, dtype=np.uint32)[order]
-    draws = rt.well_draws7(state_words, n * columns).reshape(n, columns)
-
-    if use_jax:
-        from qvz_tpu.ops import quantize as jx_quant
-        model_ids, syms, recon = jx_quant.quantize(
-            tables, data, cluster_arr, draws, want_recon=want_recon)
-    else:
-        model_ids, syms, recon = rt.quantize(
-            tables, data, clusters, draws, want_recon=want_recon)
+    payload, recon, dist_sum = rt.encode_fused(
+        tables, data, clusters, state_words, dist=dist_matrix,
+        want_recon=want_recon)
     t4 = time.perf_counter()
-    stats.phase_seconds["quantize"] = t4 - t3
-
-    # --- entropy coding ---------------------------------------------------------
-    payload = rt.encode_lines(tables, clusters, model_ids, syms)
-    t5 = time.perf_counter()
-    stats.phase_seconds["code"] = t5 - t4
+    stats.phase_seconds["code"] = t4 - t3
 
     compressed = container.build_container_raw(
         blocks, n_clusters, well_bytes, payload, columns, n)
 
     stats.payload_bytes = len(payload)
     stats.rate = (len(payload) * 8.0) / (float(n) * columns)
-    if want_recon and recon is not None:
-        # distortion = mean over lines of (sum_col d(x, q(x)) / columns)
-        d = dist_matrix[data.reshape(-1), recon.reshape(-1)]
-        stats.distortion = float(
-            d.reshape(n, columns).sum(axis=1, dtype=np.float64).mean()
-            / columns)
+    stats.distortion = dist_sum / n
     return EncodeOutput(compressed, recon, cluster_arr, stats)
