@@ -20,6 +20,11 @@ _SRC = _DIR / "qvz_rt.cpp"
 
 _CXXFLAGS = [
     "-O3", "-std=c++17", "-shared", "-fPIC",
+    # AVX2 for the integer hot loops. FP results stay bit-identical to
+    # the reference: contraction is off (no FMA fusing) and gcc never
+    # reorders FP reductions without -ffast-math, so double summation
+    # order — which decides discrete codebook outcomes — is preserved.
+    "-march=x86-64-v3",
     "-ffp-contract=off", "-fno-fast-math",
     "-Wall",
 ]

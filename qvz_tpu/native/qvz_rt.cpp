@@ -194,8 +194,12 @@ struct Encoder {
     uint32_t cum_lo = 0;
     for (uint32_t i = 0; i < x; ++i) cum_lo += c[i];
     uint32_t cum_hi = cum_lo + c[x];
-    u = l + static_cast<uint32_t>((range * cum_hi) / n) - 1;
-    l = l + static_cast<uint32_t>((range * cum_lo) / n);
+    // Skewed adaptive models hit the edges constantly; (range*n)/n ==
+    // range and (range*0)/n == 0 exactly, so skip the 64-bit divisions.
+    u = l + (cum_hi == n ? static_cast<uint32_t>(range)
+                         : static_cast<uint32_t>((range * cum_hi) / n)) - 1;
+    l = l + (cum_lo == 0 ? 0u
+                         : static_cast<uint32_t>((range * cum_lo) / n));
 
     for (;;) {
       uint32_t msb_l = l >> kMsbShift;
@@ -246,12 +250,14 @@ struct Decoder {
     uint32_t k = 0, cum = 0;
     while (sub >= cum) cum += c[k++];
     uint32_t x = k - 1;
-
-    uint32_t cum_lo = 0;
-    for (uint32_t i = 0; i < x; ++i) cum_lo += c[i];
-    uint32_t cum_hi = cum_lo + c[x];
-    u = l + static_cast<uint32_t>((range * cum_hi) / n) - 1;
-    l = l + static_cast<uint32_t>((range * cum_lo) / n);
+    // The search loop exits with cum == sum(c[0..x]) — reuse it instead
+    // of a second prefix scan.
+    uint32_t cum_hi = cum;
+    uint32_t cum_lo = cum - c[x];
+    u = l + (cum_hi == n ? static_cast<uint32_t>(range)
+                         : static_cast<uint32_t>((range * cum_hi) / n)) - 1;
+    l = l + (cum_lo == 0 ? 0u
+                         : static_cast<uint32_t>((range * cum_lo) / n));
 
     for (;;) {
       uint32_t msb_l = l >> kMsbShift;
