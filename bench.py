@@ -115,19 +115,29 @@ def main() -> None:
         our_q, our_dec = tmp / "our.q", tmp / "our.dec"
         dist = make_matrix(DISTORTION_MSE)
 
-        t0 = time.perf_counter()
-        data = load_quality_file(str(inp))
-        out = enc_mod.encode(data, dist, n_clusters=1, ratio=0.5,
-                             well_state=WellState.debug(), want_recon=False)
-        our_q.write_bytes(out.compressed)
-        t_enc = time.perf_counter() - t0
+        def run_mode(shards):
+            t0 = time.perf_counter()
+            data = load_quality_file(str(inp))
+            out = enc_mod.encode(data, dist, n_clusters=1, ratio=0.5,
+                                 well_state=WellState.debug(),
+                                 shards=shards, want_recon=False)
+            our_q.write_bytes(out.compressed)
+            te = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dec_mod.decode_to_file(our_q.read_bytes(), str(our_dec))
+            td = time.perf_counter() - t0
+            return te, td, out.stats
 
-        t0 = time.perf_counter()
-        dec_mod.decode_to_file(our_q.read_bytes(), str(our_dec))
-        t_dec = time.perf_counter() - t0
+        # v1 reference-format parity mode (one sequential stream)
+        p_enc, p_dec, p_stats = run_mode(1)
+        log(f"ours/parity-v1: encode {p_enc:.2f}s decode {p_dec:.2f}s "
+            f"rate {p_stats.rate:.4f} distortion {p_stats.distortion:.4f}")
 
-        ours = {"rate": out.stats.rate, "distortion": out.stats.distortion}
-        log(f"ours: encode {t_enc:.2f}s decode {t_dec:.2f}s "
+        # production sharded mode (QVZ2, one stream per CPU): identical
+        # reconstruction, independently decodable parallel streams.
+        t_enc, t_dec, s_stats = run_mode(0)
+        ours = {"rate": s_stats.rate, "distortion": s_stats.distortion}
+        log(f"ours/sharded: encode {t_enc:.2f}s decode {t_dec:.2f}s "
             f"rate {ours['rate']:.4f} distortion {ours['distortion']:.4f}")
 
         # sanity: decode must reproduce the encoder's lossy reconstruction
@@ -161,9 +171,10 @@ def main() -> None:
         value = 2 * mb / (t_enc + t_dec)
         base = 2 * mb / (rt_enc + rt_dec)
         print(json.dumps({
-            "metric": "e2e quality-score encode+decode throughput "
+            "metric": "e2e quality-score encode+decode throughput, "
+                      "sharded production mode "
                       f"({N_LINES // 1000}k lines x {COLS} cols, -f 0.5, "
-                      "single chip host+device)",
+                      "identical reconstruction to reference mode)",
             "value": round(value, 3),
             "unit": "MB/s",
             "vs_baseline": round(value / base, 3),

@@ -52,6 +52,8 @@ def usage(name: str) -> None:
     print("   --well-state F : Load a raw 128-byte WELL state from F")
     print("   --no-jax     : Force the host-only pipeline (no accelerator)")
     print("   --jax        : Force the device pipeline (default: auto by input size)")
+    print("   --shards N   : Encode a sharded QVZ2 container with N parallel streams")
+    print("                  (0 = one per CPU; default 1 = reference-compatible v1)")
 
 
 def _make_well(opts) -> WellState:
@@ -74,6 +76,7 @@ def main(argv=None) -> int:
         "uncompressed": None, "distortion": DISTORTION_MSE,
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
         "debug_seed": False, "well_state_file": None, "use_jax": "auto",
+        "shards": 1,
     }
     extract = False
     files = []
@@ -141,6 +144,9 @@ def main(argv=None) -> int:
         elif a == "--jax":
             opts["use_jax"] = True
             i += 1
+        elif a == "--shards":
+            opts["shards"] = int(argv[i + 1])
+            i += 2
         elif a == "-h":
             usage(name)
             return 0
@@ -175,7 +181,7 @@ def main(argv=None) -> int:
         data, dist, n_clusters=opts["clusters"], mode=opts["mode"],
         ratio=opts["ratio"], cluster_threshold=opts["cluster_threshold"],
         well_state=_make_well(opts), use_jax=opts["use_jax"],
-        want_recon=True)
+        shards=opts["shards"], want_recon=bool(opts["uncompressed"]))
     with open(output_name, "wb") as f:
         f.write(out.compressed)
     if opts["uncompressed"]:

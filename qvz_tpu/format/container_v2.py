@@ -1,0 +1,131 @@
+"""QVZ2 sharded container (framework extension, NOT in the reference).
+
+The reference interleaves every line into ONE adaptive arithmetic stream
+(src/qv_compressor.c:76-137), which makes coding inherently sequential.
+The QVZ2 container splits the read axis into contiguous shards, each
+carrying its own adaptive-model bank and arithmetic stream, so shards
+encode and decode in parallel (host threads per shard; stats/k-means on
+the accelerator). The per-shard WELL-1024a start states are obtained by
+GF(2) jump-ahead on the file-level state, so every shard draws the SAME
+dither bits it would have drawn inside the single-stream format — the
+lossy reconstruction is byte-identical to the v1 container for the same
+input and seed; only the entropy-coding packaging differs (each shard's
+models restart adaptation, costing a few hundred bytes per shard).
+
+Layout (all integers big-endian):
+
+    [0:4]    magic b"QVZ2"
+    [4]      format version (2)
+    [5]      cluster count
+    [6:10]   columns  u32
+    [10:18]  lines    u64  (no uint32 truncation, unlike v1)
+    [18:22]  n_shards u32
+    then the per-cluster ASCII codebook blocks (identical to v1)
+    then 128 bytes raw file-level WELL-1024a state
+    then per shard:
+        lines    u64
+        payload  u64 length
+        128-byte WELL-1024a start state (jump-ahead of the file state)
+    then the concatenated shard payloads.
+
+A v1 container's first byte is its cluster count (recommended <= 5,
+README.md:41); a collision with the 4-byte magic would need 81 clusters
+AND columns == 0x565A32xx, so the decoder tries v2 first and falls back
+to v1 on parse failure.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"QVZ2"
+VERSION = 2
+_HEAD = struct.Struct(">4sBBIQI")
+_SHARD = struct.Struct(">QQ")
+
+
+@dataclass
+class ShardInfo:
+    lines: int
+    payload_off: int  # absolute offset into the container
+    payload_len: int
+    well_state: bytes  # 128 raw bytes, n=0 semantics
+
+
+@dataclass
+class ContainerV2:
+    cluster_count: int
+    columns: int
+    lines: int
+    blocks: bytes  # codebook blocks span (for tables_from_blocks)
+    well_state: bytes  # file-level 128-byte state
+    shards: list
+
+
+def is_v2(data: bytes) -> bool:
+    return data[:4] == MAGIC
+
+
+def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
+          shard_lines: list, shard_states: list, payloads: list) -> bytes:
+    """Assemble a QVZ2 container.
+
+    shard_lines: lines per shard; shard_states: 128-byte WELL start
+    state per shard; payloads: arithmetic payload bytes per shard.
+    """
+    n_shards = len(payloads)
+    assert len(shard_lines) == n_shards and len(shard_states) == n_shards
+    out = bytearray()
+    out += _HEAD.pack(MAGIC, VERSION, cluster_count, columns, lines,
+                      n_shards)
+    out += blocks
+    file_state = shard_states[0]
+    assert len(file_state) == 128
+    out += file_state
+    for nl, st, pay in zip(shard_lines, shard_states, payloads):
+        assert len(st) == 128
+        out += _SHARD.pack(nl, len(pay))
+        out += st
+    for pay in payloads:
+        out += pay
+    return bytes(out)
+
+
+def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
+    """Parse header + shard directory.
+
+    blocks_len: length of the codebook-blocks span; pass None to have
+    the caller locate it via Tables.consumed (parse in two steps: call
+    with blocks_len=None to read the fixed header only — blocks/shards
+    empty — then again with the measured length).
+    """
+    magic, version, cc, columns, lines, n_shards = _HEAD.unpack(
+        data[:_HEAD.size])
+    if magic != MAGIC or version != VERSION:
+        raise ValueError("not a QVZ2 container")
+    head = ContainerV2(cc, columns, lines, b"", b"", [])
+    if blocks_len is None:
+        return head
+    pos = _HEAD.size
+    head.blocks = data[pos:pos + blocks_len]
+    pos += blocks_len
+    head.well_state = data[pos:pos + 128]
+    pos += 128
+    metas = []
+    for _ in range(n_shards):
+        nl, plen = _SHARD.unpack(data[pos:pos + _SHARD.size])
+        pos += _SHARD.size
+        st = data[pos:pos + 128]
+        pos += 128
+        metas.append((nl, plen, st))
+    for nl, plen, st in metas:
+        head.shards.append(ShardInfo(nl, pos, plen, st))
+        pos += plen
+    if sum(s.lines for s in head.shards) != lines:
+        raise ValueError("shard line counts do not sum to total lines")
+    return head
+
+
+def header_size() -> int:
+    return _HEAD.size

@@ -122,6 +122,9 @@ def load() -> ctypes.CDLL:
         c.c_int64]
     lib.qvz_encode_lines.restype = c.c_int64
 
+    lib.qvz_well_jump.argtypes = [u32p, c.c_uint32, c.c_uint64, u32p]
+    lib.qvz_well_jump.restype = None
+
     lib.qvz_stats.argtypes = [u8p, c.c_uint64, c.c_uint32, u8p, u64p, u64p]
     lib.qvz_stats.restype = None
 

@@ -956,6 +956,150 @@ int64_t qvz_encode_lines(const uint8_t* cluster_ids, const uint32_t* model_ids,
   return n;
 }
 
+}  // extern "C"
+
+// --- WELL GF(2) jump-ahead ------------------------------------------------
+
+// One next_word() call is linear over GF(2) on the 1024-bit state when the
+// state is expressed in n-relative word order: vector bit (32*i + b) = bit
+// b of word (n+i)&31 (layout matches ops/well.py _state_to_vec). Powers
+// M^(2^k) are state-independent, computed once per process.
+
+namespace welljump {
+
+constexpr int kBits = 1024;
+constexpr int kWpr = kBits / 64;  // uint64 words per row
+
+struct Mat {
+  std::vector<uint64_t> r;  // [kBits * kWpr], row-major bit rows
+  Mat() : r(static_cast<size_t>(kBits) * kWpr, 0) {}
+  inline uint64_t* row(int i) { return r.data() + static_cast<size_t>(i) * kWpr; }
+  inline const uint64_t* row(int i) const { return r.data() + static_cast<size_t>(i) * kWpr; }
+};
+
+static void state_to_vec(const uint32_t* s, uint32_t n, uint64_t* v) {
+  for (int w = 0; w < kWpr; ++w) v[w] = 0;
+  for (int i = 0; i < 32; ++i) {
+    uint64_t word = s[(n + i) & 31];
+    v[i / 2] |= word << (32 * (i & 1));
+  }
+}
+
+static void vec_to_state(const uint64_t* v, uint32_t* s) {
+  for (int i = 0; i < 32; ++i) {
+    s[i] = static_cast<uint32_t>((v[i / 2] >> (32 * (i & 1))) & 0xFFFFFFFFull);
+  }
+}
+
+// M: new_vec = M . vec for one word() step, built from basis states.
+static Mat step_matrix() {
+  // cols[j] = M e_j, then transpose into bit rows.
+  std::vector<uint64_t> cols(static_cast<size_t>(kBits) * kWpr, 0);
+  for (int j = 0; j < kBits; ++j) {
+    uint32_t words[32] = {0};
+    words[j / 32] = 1u << (j % 32);
+    Well w(words);
+    w.word();
+    state_to_vec(w.s, w.n, cols.data() + static_cast<size_t>(j) * kWpr);
+  }
+  Mat m;
+  for (int j = 0; j < kBits; ++j) {
+    const uint64_t* c = cols.data() + static_cast<size_t>(j) * kWpr;
+    for (int w = 0; w < kWpr; ++w) {
+      uint64_t x = c[w];
+      while (x) {
+        int b = __builtin_ctzll(x);
+        x &= x - 1;
+        int i = w * 64 + b;
+        m.row(i)[j / 64] |= 1ull << (j % 64);
+      }
+    }
+  }
+  return m;
+}
+
+static Mat matmul(const Mat& a, const Mat& b) {
+  // Method of four Russians: per 8-column block, precompute all 256 XOR
+  // combinations of b's rows, then one table lookup per (row, block).
+  Mat out;
+  std::vector<uint64_t> tbl(256 * kWpr);
+  for (int p = 0; p < kBits / 8; ++p) {
+    for (int w = 0; w < kWpr; ++w) tbl[w] = 0;
+    for (int v = 1; v < 256; ++v) {
+      int low = v & -v;
+      const uint64_t* br = b.row(8 * p + __builtin_ctz(low));
+      const uint64_t* prev = &tbl[static_cast<size_t>(v ^ low) * kWpr];
+      uint64_t* dst = &tbl[static_cast<size_t>(v) * kWpr];
+      for (int w = 0; w < kWpr; ++w) dst[w] = prev[w] ^ br[w];
+    }
+    int word = p / 8, shift = 8 * (p % 8);
+    for (int i = 0; i < kBits; ++i) {
+      uint32_t byte = (a.row(i)[word] >> shift) & 0xFF;
+      if (byte) {
+        const uint64_t* src = &tbl[static_cast<size_t>(byte) * kWpr];
+        uint64_t* orow = out.row(i);
+        for (int w = 0; w < kWpr; ++w) orow[w] ^= src[w];
+      }
+    }
+  }
+  return out;
+}
+
+static void matvec(const Mat& m, const uint64_t* v, uint64_t* out) {
+  for (int w = 0; w < kWpr; ++w) out[w] = 0;
+  for (int i = 0; i < kBits; ++i) {
+    const uint64_t* r = m.row(i);
+    uint64_t acc = 0;
+    for (int k = 0; k < kWpr; ++k) acc ^= r[k] & v[k];
+    out[i / 64] |= static_cast<uint64_t>(__builtin_parityll(acc)) << (i % 64);
+  }
+}
+
+// M^(2^k) table, grown on demand. Not thread-safe; callers hold the GIL.
+static std::vector<Mat>& pow_table() {
+  static std::vector<Mat> t;
+  if (t.empty()) t.push_back(step_matrix());
+  return t;
+}
+
+static const Mat& pow2(int k) {
+  std::vector<Mat>& t = pow_table();
+  while (static_cast<int>(t.size()) <= k) t.push_back(matmul(t.back(), t.back()));
+  return t[k];
+}
+
+}  // namespace welljump
+
+extern "C" {
+
+// Start states for n_chunks contiguous word-chunks of one WELL stream.
+// state: 32 words with n=0 semantics; chunk c's 32-word state (also n=0
+// semantics) lands at out + 32*c. Chunk 0 is `state` itself.
+void qvz_well_jump(const uint32_t* state, uint32_t n_chunks,
+                   uint64_t words_per_chunk, uint32_t* out) {
+  using namespace welljump;
+  uint64_t v[kWpr], tmp[kWpr];
+  state_to_vec(state, 0, v);
+  int bits[64];
+  int nb = 0;
+  for (int k = 0; k < 64; ++k) {
+    if ((words_per_chunk >> k) & 1) bits[nb++] = k;
+  }
+  if (nb) pow2(bits[nb - 1]);  // grow the table once
+  for (uint32_t c = 0; c < n_chunks; ++c) {
+    vec_to_state(v, out + 32ull * c);
+    if (c + 1 < n_chunks) {
+      for (int i = 0; i < nb; ++i) {
+        matvec(pow2(bits[i]), v, tmp);
+        std::memcpy(v, tmp, sizeof(v));
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
 // --- host statistics ------------------------------------------------------
 
 // Single-pass conditional histogram (codebook.c:185-203 semantics). Host

@@ -28,6 +28,18 @@ def well_draws7(state_words, n_draws: int) -> np.ndarray:
     return out
 
 
+def well_jump(state_words, n_chunks: int, words_per_chunk: int
+              ) -> np.ndarray:
+    """GF(2) jump-ahead start states (n=0 semantics) for n_chunks
+    contiguous word-chunks of one WELL stream; chunk 0 == input."""
+    lib = native.load()
+    st = np.ascontiguousarray(state_words, dtype=np.uint32)
+    out = np.empty((n_chunks, 32), dtype=np.uint32)
+    lib.qvz_well_jump(_ptr(st, _u32p), n_chunks, words_per_chunk,
+                      _ptr(out, _u32p))
+    return out
+
+
 class Tables:
     """Flat coding tables (see qvz_rt.cpp Tables). Owns the C++ handle."""
 
@@ -216,13 +228,23 @@ def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
 
 
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
-                 well_state_words) -> np.ndarray:
-    """Decode the payload to Phred+33 text bytes with newlines."""
+                 well_state_words, out: np.ndarray | None = None
+                 ) -> np.ndarray:
+    """Decode the payload to Phred+33 text bytes with newlines.
+
+    `out` may be a preallocated C-contiguous uint8 buffer of
+    n_lines*(cols+1) bytes (e.g. a row-slice of a larger array) so
+    sharded decodes write in place.
+    """
     lib = native.load()
     cols = tables.columns
     pay = np.frombuffer(payload, dtype=np.uint8)
     st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
-    out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
+    if out is None:
+        out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
+    else:
+        assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
+        assert out.size == n_lines * (cols + 1)
     r = lib.qvz_decode_lines(tables._h, _ptr(pay, _u8p), len(pay),
                              n_lines, _ptr(st, _u32p), _ptr(out, _u8p))
     if r != 0:

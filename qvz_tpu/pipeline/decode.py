@@ -10,18 +10,50 @@ from __future__ import annotations
 
 import numpy as np
 
-from qvz_tpu.format import container
+from qvz_tpu.format import container, container_v2
 from qvz_tpu.native import runtime as rt
 
 
 def decode(compressed: bytes) -> np.ndarray:
-    """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines."""
+    """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
+
+    Accepts both the reference-compatible v1 container and the sharded
+    QVZ2 container (decoded with one host thread per shard)."""
+    if container_v2.is_v2(compressed):
+        return _decode_v2(compressed)
     cluster_count, columns, lines = container.read_header(compressed[:9])
     tables = rt.tables_from_blocks(compressed[9:], cluster_count, columns)
     pos = 9 + tables.consumed
     well_words = np.frombuffer(compressed[pos:pos + 128], dtype="<u4")
     payload = compressed[pos + 128:]
     return rt.decode_lines(tables, payload, lines, well_words)
+
+
+def _decode_v2(compressed: bytes) -> np.ndarray:
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    head = container_v2.parse(compressed, blocks_len=None)
+    hdr = container_v2.header_size()
+    tables = rt.tables_from_blocks(compressed[hdr:], head.cluster_count,
+                                   head.columns)
+    head = container_v2.parse(compressed, blocks_len=tables.consumed)
+    cols = head.columns
+    out = np.empty((head.lines, cols + 1), dtype=np.uint8)
+    offs = np.concatenate(
+        [[0], np.cumsum([s.lines for s in head.shards])]).astype(np.int64)
+
+    def run(i):
+        s = head.shards[i]
+        well = np.frombuffer(s.well_state, dtype="<u4")
+        payload = compressed[s.payload_off:s.payload_off + s.payload_len]
+        rt.decode_lines(tables, payload, s.lines, well,
+                        out=out[offs[i]:offs[i + 1]].reshape(-1))
+
+    with ThreadPoolExecutor(
+            max_workers=min(len(head.shards), os.cpu_count() or 1)) as ex:
+        list(ex.map(run, range(len(head.shards))))
+    return out
 
 
 def decode_to_file(compressed: bytes, path: str) -> int:

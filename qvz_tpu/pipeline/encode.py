@@ -20,6 +20,7 @@ for the sharded throughput mode, where each shard owns its own stream.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -57,9 +58,23 @@ def _device_worthwhile(n_bytes: int) -> bool:
     transfer and compile latency; below the threshold the C++ host
     kernels win. Tunable per deployment via QVZ_TPU_DEVICE_MIN_BYTES
     (bytes; 0 forces the device path on)."""
-    import os
     thresh = int(os.environ.get("QVZ_TPU_DEVICE_MIN_BYTES", 256 * 2**20))
     return n_bytes >= thresh
+
+
+def _shard_plan(n: int, columns: int, shards: int):
+    """Split n lines into <= `shards` contiguous shards whose dither-draw
+    offsets land on WELL pool-word boundaries (4 draws per 32-bit pool
+    word, well.c:33-46), so jump-ahead start states are exact."""
+    per = -(-n // shards)
+    per = max(4, (per + 3) & ~3)  # multiple of 4 => 4 | per*columns
+    counts = []
+    left = n
+    while left > 0:
+        take = min(per, left)
+        counts.append(take)
+        left -= take
+    return counts
 
 
 def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
@@ -67,8 +82,12 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            cluster_threshold: float = 4.0,
            well_state: WellState | None = None,
            use_jax: bool | str = "auto",
+           shards: int = 1,
            want_recon: bool = True) -> EncodeOutput:
     n, columns = data.shape
+    if shards == 0:
+        shards = os.cpu_count() or 1
+    shards = max(1, min(shards, n))
     if use_jax == "auto":
         use_jax = _device_worthwhile(data.nbytes)
     if well_state is None:
@@ -114,16 +133,52 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     well_bytes = well_state.to_bytes()
     order = [(well_state.n + i) & 31 for i in range(32)]
     state_words = np.asarray(well_state.state, dtype=np.uint32)[order]
-    payload, recon, dist_sum = rt.encode_fused(
-        tables, data, clusters, state_words, dist=dist_matrix,
-        want_recon=want_recon)
+
+    if shards == 1:
+        payload, recon, dist_sum = rt.encode_fused(
+            tables, data, clusters, state_words, dist=dist_matrix,
+            want_recon=want_recon)
+        payload_bytes = len(payload)
+        compressed = None  # assembled below
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from qvz_tpu.format import container_v2
+
+        counts = _shard_plan(n, columns, shards)
+        # Per-shard WELL start states: shard s begins exactly
+        # counts[0..s)*columns draws into the single logical stream.
+        wpc = counts[0] * columns // 4
+        states = rt.well_jump(state_words, len(counts), wpc)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+        def run(s):
+            lo, hi = offs[s], offs[s + 1]
+            return rt.encode_fused(
+                tables, data[lo:hi],
+                clusters[lo:hi] if clusters is not None else None,
+                states[s], dist=dist_matrix, want_recon=want_recon)
+
+        with ThreadPoolExecutor(max_workers=min(len(counts),
+                                                os.cpu_count() or 1)) as ex:
+            results = list(ex.map(run, range(len(counts))))
+        payloads = [r[0] for r in results]
+        dist_sum = float(sum(r[2] for r in results))
+        recon = (np.concatenate([r[1] for r in results])
+                 if want_recon else None)
+        shard_states = [np.asarray(states[s], dtype="<u4").tobytes()
+                        for s in range(len(counts))]
+        compressed = container_v2.build(
+            blocks, n_clusters, columns, n, counts, shard_states, payloads)
+        payload_bytes = sum(len(p) for p in payloads)
     t4 = time.perf_counter()
     stats.phase_seconds["code"] = t4 - t3
 
-    compressed = container.build_container_raw(
-        blocks, n_clusters, well_bytes, payload, columns, n)
+    if compressed is None:
+        compressed = container.build_container_raw(
+            blocks, n_clusters, well_bytes, payload, columns, n)
 
-    stats.payload_bytes = len(payload)
-    stats.rate = (len(payload) * 8.0) / (float(n) * columns)
+    stats.payload_bytes = payload_bytes
+    stats.rate = (payload_bytes * 8.0) / (float(n) * columns)
     stats.distortion = dist_sum / n
     return EncodeOutput(compressed, recon, cluster_arr, stats)
