@@ -135,7 +135,11 @@ def main() -> None:
 
         # production sharded mode (QVZ2, one stream per CPU): identical
         # reconstruction, independently decodable parallel streams.
+        # Best-of-2 to damp noisy-neighbor variance on shared hosts (the
+        # reference gets the same treatment below).
         t_enc, t_dec, s_stats = run_mode(0)
+        e2, d2, _ = run_mode(0)
+        t_enc, t_dec = min(t_enc, e2), min(t_dec, d2)
         ours = {"rate": s_stats.rate, "distortion": s_stats.distortion}
         log(f"ours/sharded: encode {t_enc:.2f}s decode {t_dec:.2f}s "
             f"rate {ours['rate']:.4f} distortion {ours['distortion']:.4f}")
@@ -153,8 +157,13 @@ def main() -> None:
             rt_enc, rr = timed([str(ref_bin), "-f", "0.5", "-c", "1", "-s",
                                 str(inp), str(ref_q)])
             refs = stats_line(rr.stdout)
+            re2, _ = timed([str(ref_bin), "-f", "0.5", "-c", "1", "-s",
+                            str(inp), str(ref_q)])
+            rt_enc = min(rt_enc, re2)
             rt_dec, _ = timed([str(ref_bin), "-x", str(ref_q),
                                str(ref_dec)])
+            rd2, _ = timed([str(ref_bin), "-x", str(ref_q), str(ref_dec)])
+            rt_dec = min(rt_dec, rd2)
             log(f"reference: encode {rt_enc:.2f}s decode {rt_dec:.2f}s "
                 f"rate {refs.get('rate')} distortion "
                 f"{refs.get('distortion')}")

@@ -18,16 +18,39 @@
 // log2() matches the reference binary's. All accumulation orders follow
 // the reference (see the per-function comments).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
 #include <cfloat>
+#include <functional>
+#include <thread>
 #include <vector>
 #include <string>
 
 namespace {
 
 constexpr int A = 72;                 // alphabet size
+
+// Work-stealing-free parallel for: deterministic results require only
+// that fn(i) be pure w.r.t. disjoint outputs (each index owns its slot).
+void parallel_for(size_t n, bool threaded,
+                  const std::function<void(size_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nt = std::min<size_t>(hw ? hw : 1, n);
+  if (!threaded || nt <= 1 || n < 4) {
+    for (size_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<size_t> next{0};
+  std::vector<std::thread> ts;
+  for (size_t t = 0; t < nt; ++t) {
+    ts.emplace_back([&] {
+      for (size_t i; (i = next.fetch_add(1)) < n;) fn(i);
+    });
+  }
+  for (auto& t : ts) t.join();
+}
 constexpr uint32_t kArithM = 22;
 constexpr uint32_t kArithR = 1u << (kArithM - 3);
 constexpr uint32_t kMsbShift = kArithM - 1;
@@ -448,7 +471,8 @@ static void renormalize(double* p, size_t n) {
 // over j per output cell is unchanged.
 static std::vector<ColumnDesign> design_cluster(
     const uint64_t* counts0, const uint64_t* cond_counts, int columns,
-    int mode, double opt_ratio, const double* dist) {
+    int mode, double opt_ratio, const double* dist,
+    bool threaded = true) {
   std::vector<ColumnDesign> books(columns);
 
   // Marginal column pmfs via the chained total-probability recursion
@@ -574,7 +598,9 @@ static std::vector<ColumnDesign> design_cluster(
     b.hi.resize(un);
     b.ratio.resize(un);
     b.qratio.resize(un);
-    for (size_t j = 0; j < un; ++j) {
+    // Contexts are independent designs with disjoint outputs, so the
+    // threaded schedule cannot change any double-precision result.
+    parallel_for(un, threaded, [&](size_t j) {
       double tgt = (mode == 0) ? entropy_of(xpmf[j].data()) * opt_ratio
                                : opt_ratio;
       double rj = optimize_for_entropy(xpmf[j].data(), dist, tgt,
@@ -583,7 +609,7 @@ static std::vector<ColumnDesign> design_cluster(
       b.hi[j].ratio = 1 - rj;
       b.ratio[j] = rj;
       b.qratio[j] = static_cast<uint8_t>(rj * 128.0);
-    }
+    });
 
     prev_qpmf = std::move(qpmf);
   }
@@ -826,12 +852,18 @@ void* qvz_design_create(const uint64_t* counts0,      // [n_clusters*72]
   QvzDesign* d = new QvzDesign();
   d->columns = columns;
   size_t cond_stride = static_cast<size_t>(columns - 1) * A * A;
+  d->books.resize(n_clusters);
+  // Clusters are fully independent; thread across them when there are
+  // several, else across contexts inside each column.
+  bool outer = n_clusters >= std::thread::hardware_concurrency();
+  parallel_for(n_clusters, outer, [&](size_t c) {
+    d->books[c] = design_cluster(counts0 + c * A,
+                                 cond_counts + c * cond_stride,
+                                 static_cast<int>(columns), mode, ratio,
+                                 dist, /*threaded=*/!outer);
+  });
   for (uint32_t c = 0; c < n_clusters; ++c) {
-    d->books.push_back(design_cluster(counts0 + static_cast<size_t>(c) * A,
-                                      cond_counts + c * cond_stride,
-                                      static_cast<int>(columns), mode, ratio,
-                                      dist));
-    serialize_books(d->books.back(), &d->serialized);
+    serialize_books(d->books[c], &d->serialized);
   }
   return d;
 }
