@@ -51,6 +51,13 @@ def _kmeans_step(data_u8: jnp.ndarray, means: jnp.ndarray,
     return assign, new_means, moved
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("QVZ_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
                    rand: GlibcRand | None = None):
     """Reference-exact k-means; returns (assignments u8, means, iters)."""
@@ -58,10 +65,33 @@ def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
     if n_clusters == 1:
         return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
 
-    means_np = seed_centroids(data, n_clusters, rand)
+    means_np = seed_centroids(data, n_clusters, rand).astype(np.int64)
+
+    if _use_pallas():
+        from qvz_tpu.ops import pallas_kernels as pk
+        dp = jnp.asarray(pk.pad_rows(data), dtype=jnp.uint8)
+        assign = None
+        iters = 0
+        while iters < MAX_KMEANS_ITERATIONS:
+            assign, sums, counts = pk.kmeans_step_fused(
+                dp, jnp.asarray(means_np, dtype=jnp.int32),
+                jnp.int32(n), n_clusters)
+            iters += 1
+            s = np.asarray(sums, dtype=np.int64)
+            c = np.asarray(counts, dtype=np.int64)
+            # Integer-division discrete means (cluster.c:113); empty
+            # clusters guarded (reference would SIGFPE).
+            new_means = s // np.maximum(c, 1)[:, None]
+            diff = (new_means - means_np).astype(np.float64)
+            moved = float((diff * diff).sum(axis=1).max())
+            means_np = new_means
+            if moved <= threshold:
+                break
+        return (np.asarray(assign, dtype=np.uint8)[:n],
+                means_np.astype(np.uint8), iters)
+
     data_u8 = jnp.asarray(data, dtype=jnp.uint8)
     means = jnp.asarray(means_np, dtype=jnp.int32)
-
     iters = 0
     assign = None
     while iters < MAX_KMEANS_ITERATIONS:

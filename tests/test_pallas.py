@@ -1,0 +1,62 @@
+"""Pallas fused k-means kernel vs the spec oracle (interpret mode).
+
+On TPU the kernel compiles via Mosaic; in the CPU test environment it
+runs through the Pallas interpreter — same program, same semantics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qvz_tpu.ops.pallas_kernels import kmeans_step_fused, pad_rows
+
+
+def oracle_step(data, means, K):
+    d = data.astype(np.int64)
+    m = means.astype(np.int64)
+    dist = ((d[:, None, :] - m[None]) ** 2).sum(-1)
+    assign = dist.argmin(1)
+    sums = np.zeros((K, data.shape[1]), dtype=np.int64)
+    np.add.at(sums, assign, d)
+    counts = np.bincount(assign, minlength=K)
+    return assign, sums, counts
+
+
+@pytest.mark.parametrize("n,cols,K", [(700, 36, 3), (1500, 100, 5),
+                                      (512, 17, 2)])
+def test_fused_step_matches_oracle(n, cols, K):
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 72, size=(n, cols)).astype(np.uint8)
+    means = rng.integers(0, 72, size=(K, cols)).astype(np.int32)
+    a, s, c = kmeans_step_fused(
+        jnp.asarray(pad_rows(data)), jnp.asarray(means), jnp.int32(n), K,
+        interpret=True)
+    ar, sr, cr = oracle_step(data, means, K)
+    assert np.array_equal(np.asarray(a)[:n], ar)
+    assert np.array_equal(np.asarray(s), sr)
+    assert np.array_equal(np.asarray(c), cr)
+
+
+def test_fused_step_ties_break_low():
+    # two identical centroids: every read must pick index 0
+    data = np.full((512, 8), 30, dtype=np.uint8)
+    means = np.full((2, 8), 10, dtype=np.int32)
+    a, s, c = kmeans_step_fused(
+        jnp.asarray(data), jnp.asarray(means), jnp.int32(512), 2,
+        interpret=True)
+    assert np.all(np.asarray(a) == 0)
+    assert np.asarray(c)[0] == 512 and np.asarray(c)[1] == 0
+
+
+def test_padded_rows_excluded():
+    n, cols, K = 100, 12, 2  # padded to 512 rows
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 72, size=(n, cols)).astype(np.uint8)
+    means = rng.integers(0, 72, size=(K, cols)).astype(np.int32)
+    a, s, c = kmeans_step_fused(
+        jnp.asarray(pad_rows(data)), jnp.asarray(means), jnp.int32(n), K,
+        interpret=True)
+    _, sr, cr = oracle_step(data, means, K)
+    assert int(np.asarray(c).sum()) == n
+    assert np.array_equal(np.asarray(s), sr)
+    assert np.array_equal(np.asarray(c), cr)
