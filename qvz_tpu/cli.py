@@ -52,6 +52,8 @@ def usage(name: str) -> None:
     print("   --well-state F : Load a raw 128-byte WELL state from F")
     print("   --no-jax     : Force the host-only pipeline (no accelerator)")
     print("   --jax        : Force the device pipeline (default: auto by input size)")
+    print("   --profile D  : Write phase-timing JSON (and, with QVZ_TPU_JAX_TRACE=1,")
+    print("                  a jax.profiler trace) to directory D")
     print("   --shards N   : Encode a sharded QVZ2 container with N parallel streams")
     print("                  (0 = one per CPU; default 1 = reference-compatible v1)")
 
@@ -76,12 +78,23 @@ def main(argv=None) -> int:
         "uncompressed": None, "distortion": DISTORTION_MSE,
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
         "debug_seed": False, "well_state_file": None, "use_jax": "auto",
-        "shards": 1,
+        "shards": 1, "profile_dir": None,
     }
+    i = 1
+    try:
+        return _parse_and_dispatch(argv, name, opts, i)
+    except (ValueError, IndexError) as e:
+        if isinstance(e, IndexError):
+            print("Missing value for option.")
+        else:
+            print(f"Bad option value: {e}")
+        usage(name)
+        return 1
+
+
+def _parse_and_dispatch(argv, name, opts, i) -> int:
     extract = False
     files = []
-
-    i = 1
     while i < len(argv):
         a = argv[i]
         if not a.startswith("-"):
@@ -138,6 +151,9 @@ def main(argv=None) -> int:
         elif a == "--well-state":
             opts["well_state_file"] = argv[i + 1]
             i += 2
+        elif a == "--profile":
+            opts["profile_dir"] = argv[i + 1]
+            i += 2
         elif a == "--no-jax":
             opts["use_jax"] = False
             i += 1
@@ -161,6 +177,27 @@ def main(argv=None) -> int:
         return 1
     input_name, output_name = files
 
+    import contextlib
+    profiled = contextlib.nullcontext()
+    if opts.get("profile_dir") and os.environ.get("QVZ_TPU_JAX_TRACE"):
+        # Full XLA trace is opt-in: jax.profiler hangs on some managed
+        # TPU runtimes; the default --profile output is the phase-level
+        # timing JSON written by _run.
+        import jax
+        profiled = jax.profiler.trace(opts["profile_dir"])
+
+    try:
+        with profiled:
+            return _run(opts, extract, input_name, output_name)
+    except FileNotFoundError as e:
+        print(f"Cannot open file: {e.filename}")
+        return 1
+    except ValueError as e:
+        print(f"Error: {e}")
+        return 1
+
+
+def _run(opts, extract, input_name, output_name) -> int:
     if extract:
         from qvz_tpu.pipeline import decode as dec_mod
         t0 = time.perf_counter()
@@ -188,6 +225,21 @@ def main(argv=None) -> int:
         with open(opts["uncompressed"], "wb") as f:
             f.write(lines_to_bytes(out.reconstructed))
     elapsed = time.perf_counter() - t0
+
+    if opts.get("profile_dir"):
+        import json
+        import pathlib
+        pdir = pathlib.Path(opts["profile_dir"])
+        pdir.mkdir(parents=True, exist_ok=True)
+        (pdir / "phases.json").write_text(json.dumps({
+            "lines": out.stats.lines, "columns": out.stats.columns,
+            "rate": out.stats.rate, "distortion": out.stats.distortion,
+            "payload_bytes": out.stats.payload_bytes,
+            "total_seconds": elapsed,
+            "phase_seconds": out.stats.phase_seconds,
+            "throughput_MBps": out.stats.lines
+            * (out.stats.columns + 1) / max(elapsed, 1e-9) / 1e6,
+        }, indent=2))
 
     if opts["verbose"]:
         labels = {DISTORTION_MSE: "MSE", DISTORTION_LORENTZ: "log(1+L1)",

@@ -140,6 +140,35 @@ def pad_reads(arr: np.ndarray, n_shards: int, axis: int = 0):
     return np.pad(arr, widths), valid
 
 
+def kmeans_cluster_sharded(mesh, data: np.ndarray, n_clusters: int,
+                           threshold: float, rand=None):
+    """Mesh data-parallel k-means; bit-identical to the 1-device path
+    (integer psum accumulators, integer-division means). API-compatible
+    with ops.kmeans.kmeans_cluster."""
+    from qvz_tpu.constants import MAX_KMEANS_ITERATIONS
+    from qvz_tpu.spec.kmeans import seed_centroids
+
+    n, cols = data.shape
+    if n_clusters == 1:
+        return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
+    means = seed_centroids(data, n_clusters, rand).astype(np.int64)
+    dpad, valid = pad_reads(data, mesh.devices.size)
+    step = make_sharded_kmeans_step(mesh, n_clusters)
+    dt = jnp.asarray(dpad.T, dtype=jnp.int32)
+    v = jnp.asarray(valid)
+    iters = 0
+    assign = None
+    while iters < MAX_KMEANS_ITERATIONS:
+        assign, new_means, moved = step(
+            dt, jnp.asarray(means, dtype=jnp.int32), v)
+        iters += 1
+        means = np.asarray(new_means, dtype=np.int64)
+        if float(moved) <= threshold:
+            break
+    return (np.asarray(assign, dtype=np.uint8)[:n],
+            means.astype(np.uint8), iters)
+
+
 def sharded_conditional_counts(mesh, data: np.ndarray, clusters, n_clusters):
     """Host API: sharded equivalent of ops.stats.conditional_counts."""
     n, cols = data.shape

@@ -83,13 +83,17 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            well_state: WellState | None = None,
            use_jax: bool | str = "auto",
            shards: int = 1,
+           mesh=None,
            want_recon: bool = True) -> EncodeOutput:
+    """mesh: optional jax.sharding.Mesh with a 'reads' axis — the heavy
+    statistics/clustering passes then run data-parallel over its devices
+    with integer psum merging (bit-identical to the 1-device path)."""
     n, columns = data.shape
     if shards == 0:
         shards = os.cpu_count() or 1
     shards = max(1, min(shards, n))
     if use_jax == "auto":
-        use_jax = _device_worthwhile(data.nbytes)
+        use_jax = mesh is not None or _device_worthwhile(data.nbytes)
     if well_state is None:
         well_state = WellState.debug()
     stats = EncodeStats(lines=n, columns=columns)
@@ -99,6 +103,11 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     if n_clusters == 1:
         clusters = None
         cluster_arr = np.zeros(n, dtype=np.uint8)
+    elif mesh is not None:
+        from qvz_tpu.parallel import sharded
+        cluster_arr, _, _ = sharded.kmeans_cluster_sharded(
+            mesh, data, n_clusters, cluster_threshold)
+        clusters = cluster_arr
     elif use_jax:
         from qvz_tpu.ops import kmeans as jx_kmeans
         cluster_arr, _, _ = jx_kmeans.kmeans_cluster(
@@ -112,7 +121,11 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     stats.phase_seconds["cluster"] = t1 - t0
 
     # --- statistics ---------------------------------------------------------
-    if use_jax:
+    if mesh is not None:
+        from qvz_tpu.parallel import sharded
+        counts0, cond_counts = sharded.sharded_conditional_counts(
+            mesh, data, cluster_arr, n_clusters)
+    elif use_jax:
         from qvz_tpu.ops import stats as jx_stats
         counts0, cond_counts = jx_stats.conditional_counts(
             data, cluster_arr, n_clusters)

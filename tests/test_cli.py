@@ -1,0 +1,82 @@
+"""CLI surface tests (flag parity with src/main.c:166-184 + extensions)."""
+
+import numpy as np
+import pytest
+
+from qvz_tpu import cli
+
+
+@pytest.fixture()
+def qfile(tmp_path):
+    rng = np.random.default_rng(5)
+    steps = np.concatenate([rng.integers(20, 45, size=(300, 1)),
+                            rng.integers(-3, 4, size=(300, 24))], axis=1)
+    q = np.clip(steps.cumsum(1), 0, 71)
+    out = np.empty((300, 26), dtype=np.uint8)
+    out[:, :25] = q.astype(np.uint8) + 33
+    out[:, 25] = 10
+    p = tmp_path / "in.qual"
+    p.write_bytes(out.tobytes())
+    return p
+
+
+def test_round_trip(qfile, tmp_path, capsys):
+    comp = tmp_path / "out.q"
+    dec = tmp_path / "out.dec"
+    recon = tmp_path / "recon.txt"
+    rc = cli.main(["qvz", "-f", "0.5", "-s", "--debug-seed", "--no-jax",
+                   "-u", str(recon), str(qfile), str(comp)])
+    assert rc == 0
+    line = capsys.readouterr().out.strip()
+    assert line.startswith("rate,")
+    rc = cli.main(["qvz", "-x", str(comp), str(dec)])
+    assert rc == 0
+    assert dec.read_bytes() == recon.read_bytes()
+
+
+def test_sharded_flag_round_trip(qfile, tmp_path):
+    comp = tmp_path / "out.q2"
+    dec = tmp_path / "out.dec"
+    rc = cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                   "--shards", "3", str(qfile), str(comp)])
+    assert rc == 0
+    assert comp.read_bytes()[:4] == b"QVZ2"
+    assert cli.main(["qvz", "-x", str(comp), str(dec)]) == 0
+    assert dec.stat().st_size == qfile.stat().st_size
+
+
+def test_profile_writes_phases(qfile, tmp_path):
+    comp = tmp_path / "out.q"
+    pdir = tmp_path / "prof"
+    rc = cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                   "--profile", str(pdir), str(qfile), str(comp)])
+    assert rc == 0
+    import json
+    phases = json.loads((pdir / "phases.json").read_text())
+    assert set(phases["phase_seconds"]) == {"cluster", "stats", "design",
+                                            "code"}
+
+
+@pytest.mark.parametrize("argv", [
+    ["qvz", "-Z", "a", "b"],              # unknown flag
+    ["qvz", "-f", "xyz", "a", "b"],       # bad numeric
+    ["qvz", "-f"],                        # missing value
+    ["qvz", "onlyone"],                   # missing filenames
+    ["qvz", "-q", "/nonexistent", "/tmp/_x.q"],   # missing input
+])
+def test_error_paths_clean_exit(argv, capsys):
+    assert cli.main(argv) == 1
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+
+
+def test_decode_malformed_container(tmp_path, capsys):
+    bad = tmp_path / "bad.q"
+    bad.write_bytes(b"\x01" + b"\x00" * 40)
+    assert cli.main(["qvz", "-x", str(bad), str(tmp_path / "o")]) == 1
+    assert "Error:" in capsys.readouterr().out
+
+
+def test_help(capsys):
+    assert cli.main(["qvz", "-h"]) == 0
+    assert "-f [ratio]" in capsys.readouterr().out

@@ -101,3 +101,32 @@ def test_sharded_quantize_matches(mesh8, small):
     np.testing.assert_array_equal(np.asarray(mids).T[:n], m_ref)
     np.testing.assert_array_equal(np.asarray(qs).T[:n], s_ref)
     np.testing.assert_array_equal(np.asarray(qv).T[:n], r_ref)
+
+
+def test_mesh_encode_container_identical_to_host(mesh8):
+    """Distributed determinism: the full pipeline with an 8-device mesh
+    produces a byte-identical container to the host-only pipeline."""
+    import numpy as np
+    from qvz_tpu.constants import DISTORTION_MSE
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.pipeline import encode as enc_mod
+
+    rng = np.random.default_rng(11)
+    start = rng.integers(20, 45, size=(777, 1))
+    steps = rng.integers(-3, 4, size=(777, 23))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    kw = dict(n_clusters=3, ratio=0.5, want_recon=False)
+    host = enc_mod.encode(data, dist, well_state=WellState.debug(),
+                          use_jax=False, **kw)
+    meshy = enc_mod.encode(data, dist, well_state=WellState.debug(),
+                           mesh=mesh8, **kw)
+    assert host.compressed == meshy.compressed
+
+    sharded_out = enc_mod.encode(data, dist, well_state=WellState.debug(),
+                                 mesh=mesh8, shards=4, **kw)
+    from qvz_tpu.pipeline import decode as dec_mod
+    assert np.array_equal(dec_mod.decode(host.compressed),
+                          dec_mod.decode(sharded_out.compressed))
