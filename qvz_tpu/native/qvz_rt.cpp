@@ -102,27 +102,39 @@ struct Well {
 
 // ------------------------------------------------------------ bit sink
 
+// MSB-first bit sinks/sources with 64-bit batching. Byte-for-byte
+// identical output/consumption to the reference's per-bit os_stream
+// (os_stream.c:35-110); only the internal buffering differs.
 struct BitWriter {
   uint8_t* out;
   int64_t cap;
-  int64_t pos = 0;
-  uint32_t cur = 0;
-  uint32_t bitpos = 0;
+  int64_t pos = 0;      // bytes committed to `out`
+  uint64_t acc = 0;     // pending bits, newest in the low end
+  int nbits = 0;        // pending bit count, < 64 between calls
   bool overflow = false;
 
   BitWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
 
-  inline void put(uint32_t bit) {
-    cur |= (bit & 1u);
-    if (++bitpos == 8) {
-      if (pos < cap) out[pos] = static_cast<uint8_t>(cur);
-      else overflow = true;
-      ++pos;
-      cur = 0;
-      bitpos = 0;
+  inline void flush64() {
+    if (pos + 8 <= cap) {
+      // big-endian store: first-written bit ends up in out[pos] bit 7
+      uint64_t be = __builtin_bswap64(acc);
+      std::memcpy(out + pos, &be, 8);
     } else {
-      cur <<= 1;
+      for (int i = 0; i < 8; ++i) {
+        uint8_t b = static_cast<uint8_t>(acc >> (56 - 8 * i));
+        if (pos + i < cap) out[pos + i] = b;
+        else overflow = true;
+      }
     }
+    pos += 8;
+    acc = 0;
+    nbits = 0;
+  }
+
+  inline void put(uint32_t bit) {
+    acc = (acc << 1) | (bit & 1u);
+    if (++nbits == 64) flush64();
   }
 
   inline void put_bits(uint32_t dw, int len) {
@@ -132,28 +144,52 @@ struct BitWriter {
   // stream_finish_byte: flushes unconditionally, so a stream ending on a
   // byte boundary gains one extra zero byte (os_stream.c:105-110).
   void finish_byte() {
-    cur = (cur << (7 - bitpos)) & 0xFF;
-    if (pos < cap) out[pos] = static_cast<uint8_t>(cur);
-    else overflow = true;
-    ++pos;
-    cur = 0;
-    bitpos = 0;
+    int pad = 7 - (nbits & 7);
+    acc <<= pad + 1;  // the reference always emits one more (padded) byte
+    nbits += pad + 1;
+    while (nbits >= 8) {
+      uint8_t b = static_cast<uint8_t>(acc >> (nbits - 8));
+      if (pos < cap) out[pos] = b;
+      else overflow = true;
+      ++pos;
+      nbits -= 8;
+    }
+    acc = 0;
   }
 };
 
 struct BitReader {
   const uint8_t* data;
   uint64_t len;
-  uint64_t bitpos = 0;
+  uint64_t next = 0;    // next byte to refill from
+  uint64_t acc = 0;     // upcoming bits at the high end
+  int navail = 0;
 
   BitReader(const uint8_t* d, uint64_t l) : data(d), len(l) {}
 
+  inline void refill() {
+    // zero past EOF, matching the reference's calloc'd stream buffer
+    if (next + 8 <= len) {
+      uint64_t be;
+      std::memcpy(&be, data + next, 8);
+      acc = __builtin_bswap64(be);
+    } else {
+      acc = 0;
+      for (int i = 0; i < 8; ++i) {
+        uint8_t b = (next + i < len) ? data[next + i] : 0;
+        acc = (acc << 8) | b;
+      }
+    }
+    next += 8;
+    navail = 64;
+  }
+
   inline uint32_t get() {
-    uint64_t byte = bitpos >> 3;
-    uint32_t bit = 0;
-    if (byte < len) bit = (data[byte] >> (7 - (bitpos & 7))) & 1u;
-    ++bitpos;
-    return bit;  // zero past EOF, matching the calloc'd stream buffer
+    if (navail == 0) refill();
+    uint32_t bit = static_cast<uint32_t>(acc >> 63);
+    acc <<= 1;
+    --navail;
+    return bit;
   }
 
   uint32_t get_bits(int n) {
