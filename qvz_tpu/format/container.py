@@ -41,8 +41,12 @@ def write_header(cluster_count: int, columns: int, lines: int) -> bytes:
 
 
 def read_header(data: bytes):
+    if len(data) < 9:
+        raise ValueError("container too short for header")
     cluster_count = data[0]
     columns, lines = struct.unpack(">II", data[1:9])
+    if cluster_count == 0 or columns == 0:
+        raise ValueError("malformed container header")
     return cluster_count, columns, lines
 
 

@@ -302,7 +302,10 @@ struct Decoder {
 
   explicit Decoder(BitReader* r) : br(r) { t = br->get_bits(kArithM); }
 
+  bool bad = false;  // corrupt-stream flag (tag left [l, u])
+
   inline uint32_t step(const uint32_t* c, uint32_t n) {
+    if (t < l || t > u) { bad = true; return 0; }
     uint64_t range = static_cast<uint64_t>(u) - l + 1;
     uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
     uint32_t sub = static_cast<uint32_t>((tag_gap * n - 1) / range);
@@ -338,6 +341,7 @@ struct Decoder {
 
   // Final-symbol drain without renormalization (arith.c:190-205).
   inline uint32_t last(const uint32_t* c, uint32_t n) const {
+    if (t < l || t > u) return 0;
     uint64_t range = static_cast<uint64_t>(u) - l + 1;
     uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
     uint64_t sub = (tag_gap * n - 1) / range;
@@ -789,10 +793,18 @@ static Tables* tables_from_blocks(const uint8_t* data, int64_t len,
     uint8_t qr0 = static_cast<uint8_t>(data[pos] - 33);
     pos += 2;  // ratio byte + newline
     uint8_t lo_map[A], hi_map[A];
-    for (int i = 0; i < A; ++i) lo_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+    bool ok = true;
+    for (int i = 0; i < A; ++i) {
+      lo_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+      ok &= lo_map[i] < A;
+    }
     pos += A + 1;
-    for (int i = 0; i < A; ++i) hi_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+    for (int i = 0; i < A; ++i) {
+      hi_map[i] = static_cast<uint8_t>(data[pos + i] - 33);
+      ok &= hi_map[i] < A;
+    }
     pos += A + 1;
+    if (!ok) { delete tb; return nullptr; }
 
     tb->pair_base.push_back(static_cast<uint32_t>(tb->n_pairs));
     tb->ctxmap.resize(tb->ctxmap.size() + A, -1);
@@ -826,9 +838,13 @@ static Tables* tables_from_blocks(const uint8_t* data, int64_t len,
       std::vector<std::vector<uint8_t>> lo_maps(size), hi_maps(size);
       std::vector<std::vector<uint8_t>> lo_outs(size), hi_outs(size);
       std::vector<uint8_t> next_uniques;
+      bool ok = true;
       for (size_t i = 0; i < size; ++i) {
         lo_maps[i].resize(A);
-        for (int k = 0; k < A; ++k) lo_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+        for (int k = 0; k < A; ++k) {
+          lo_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+          ok &= lo_maps[i][k] < A;
+        }
         pos += A;
         lo_outs[i] = adjacent_unique(lo_maps[i].data());
         next_uniques = merge_union(next_uniques, lo_outs[i]);
@@ -836,12 +852,16 @@ static Tables* tables_from_blocks(const uint8_t* data, int64_t len,
       pos += 1;  // newline
       for (size_t i = 0; i < size; ++i) {
         hi_maps[i].resize(A);
-        for (int k = 0; k < A; ++k) hi_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+        for (int k = 0; k < A; ++k) {
+          hi_maps[i][k] = static_cast<uint8_t>(data[pos + k] - 33);
+          ok &= hi_maps[i][k] < A;
+        }
         pos += A;
         hi_outs[i] = adjacent_unique(hi_maps[i].data());
         next_uniques = merge_union(next_uniques, hi_outs[i]);
       }
       pos += 1;  // newline
+      if (!ok) { delete tb; return nullptr; }
 
       for (size_t i = 0; i < size; ++i) {
         tb->qratio.push_back(qrs[i]);
@@ -1264,6 +1284,7 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
     bool last_line = (i + 1 == n_lines);
     uint32_t c = dec.step(bank.counts.data() + bank.off[0], bank.total[0]);
     bank.update(0, c);
+    if (dec.bad) return -3;
     if (c >= tb->n_clusters) return -1;
     uint8_t* orow = out + i * (columns + 1);
     uint32_t prev = 0;
@@ -1280,6 +1301,7 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
       } else {
         x = dec.step(bank.counts.data() + bank.off[m], bank.total[m]);
         bank.update(m, x);
+        if (dec.bad) return -3;
       }
       uint8_t qv = tb->model_syms[tb->model_off[m] + x];
       orow[col] = static_cast<uint8_t>(qv + 33);

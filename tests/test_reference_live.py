@@ -1,0 +1,82 @@
+"""Live parity vs the reference binary built from /root/reference.
+
+Stronger than the checked-in goldens: randomized inputs and CLI configs,
+encode and decode compared byte-for-byte against a fresh `make debug`
+build (fixed WELL seed, src/qv_stream.c:82). Skipped when the reference
+tree isn't mounted.
+"""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF_SRC = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF_SRC.is_dir(),
+                                reason="reference tree not available")
+
+
+@pytest.fixture(scope="session")
+def ref_bin(tmp_path_factory):
+    build = tmp_path_factory.mktemp("refbuild")
+    shutil.copytree(REF_SRC, build, dirs_exist_ok=True)
+    r = subprocess.run(["make", "debug"], cwd=build, capture_output=True)
+    binary = build / "bin" / "qvz"
+    if r.returncode != 0 or not binary.exists():
+        pytest.skip("reference build failed")
+    return binary
+
+
+def synth_file(path, n, cols, seed):
+    rng = np.random.default_rng(seed)
+    start = rng.integers(15, 50, size=(n, 1))
+    steps = rng.integers(-4, 5, size=(n, cols - 1))
+    q = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0, 71)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = q.astype(np.uint8) + 33
+    out[:, cols] = 10
+    path.write_bytes(out.tobytes())
+
+
+CONFIGS = [
+    (["-f", "0.37", "-c", "1", "-d", "M"], 1500, 63, 101),
+    (["-r", "1.3", "-c", "2", "-d", "L"], 900, 41, 202),
+    (["-f", "0.8", "-c", "4", "-d", "A", "-T", "2"], 1200, 30, 303),
+]
+
+
+@pytest.mark.parametrize("flags,n,cols,seed", CONFIGS)
+def test_random_config_bit_parity(ref_bin, tmp_path, flags, n, cols, seed):
+    from qvz_tpu import cli
+
+    inp = tmp_path / "in.qual"
+    synth_file(inp, n, cols, seed)
+
+    ref_q = tmp_path / "ref.q"
+    ref_u = tmp_path / "ref.u"
+    ref_dec = tmp_path / "ref.dec"
+    r = subprocess.run([str(ref_bin), *flags, "-u", str(ref_u), "-s",
+                        str(inp), str(ref_q)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert subprocess.run([str(ref_bin), "-x", str(ref_q),
+                           str(ref_dec)]).returncode == 0
+
+    our_q = tmp_path / "our.q"
+    our_u = tmp_path / "our.u"
+    our_dec = tmp_path / "our.dec"
+    assert cli.main(["qvz", *flags, "-u", str(our_u), "--debug-seed",
+                     "--no-jax", str(inp), str(our_q)]) == 0
+    assert cli.main(["qvz", "-x", str(our_q), str(our_dec)]) == 0
+
+    assert our_q.read_bytes() == ref_q.read_bytes()
+    assert our_u.read_bytes() == ref_u.read_bytes()
+    assert our_dec.read_bytes() == ref_dec.read_bytes()
+
+    # cross-decode: the reference binary must decode OUR container too
+    cross = tmp_path / "cross.dec"
+    assert subprocess.run([str(ref_bin), "-x", str(our_q),
+                           str(cross)]).returncode == 0
+    assert cross.read_bytes() == ref_dec.read_bytes()

@@ -1,0 +1,68 @@
+"""Decoder robustness: corrupted/truncated containers must raise clean
+errors (never crash, hang, or silently return garbage geometry)."""
+
+import numpy as np
+import pytest
+
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import decode as dec_mod
+from qvz_tpu.pipeline import encode as enc_mod
+
+
+@pytest.fixture(scope="module")
+def containers():
+    rng = np.random.default_rng(77)
+    start = rng.integers(20, 45, size=(400, 1))
+    steps = rng.integers(-3, 4, size=(400, 19))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    v1 = enc_mod.encode(data, dist, ratio=0.5,
+                        well_state=WellState.debug(), use_jax=False,
+                        want_recon=False).compressed
+    v2 = enc_mod.encode(data, dist, ratio=0.5,
+                        well_state=WellState.debug(), use_jax=False,
+                        shards=3, want_recon=False).compressed
+    return v1, v2
+
+
+@pytest.mark.parametrize("cut", [5, 40, 137, -1])
+def test_truncated_v1(containers, cut):
+    v1, _ = containers
+    with pytest.raises((ValueError, IndexError)):
+        dec_mod.decode(v1[:cut if cut > 0 else len(v1) // 2])
+
+
+@pytest.mark.parametrize("cut", [10, 60, 300])
+def test_truncated_v2(containers, cut):
+    _, v2 = containers
+    with pytest.raises((ValueError, IndexError, Exception)):
+        dec_mod.decode(v2[:cut])
+
+
+def test_flipped_codebook_bytes_detected(containers):
+    v1, _ = containers
+    rng = np.random.default_rng(0)
+    crashes = 0
+    for _ in range(12):
+        bad = bytearray(v1)
+        pos = int(rng.integers(9, min(len(v1), 400)))
+        bad[pos] ^= 0xFF
+        try:
+            out = dec_mod.decode(bytes(bad))
+            # decoding may "succeed" with different symbols (lossy
+            # stream), but geometry must stay sane
+            assert out.ndim == 2
+        except (ValueError, IndexError):
+            crashes += 1
+    # at least some corruptions must be detected as structural errors
+    assert crashes >= 1
+
+
+def test_empty_and_tiny_inputs():
+    with pytest.raises((ValueError, IndexError)):
+        dec_mod.decode(b"")
+    with pytest.raises((ValueError, IndexError)):
+        dec_mod.decode(b"\x01\x00\x00")
