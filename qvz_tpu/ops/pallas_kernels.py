@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qvz_tpu.constants import ALPHABET_SIZE
+
 _BLOCK_N = 512          # reads per grid step
 _LANE = 128             # TPU lane width; K is padded to this
 
@@ -148,3 +150,96 @@ def pad_rows(data: np.ndarray, block: int = _BLOCK_N) -> np.ndarray:
     if n_pad == n:
         return data
     return np.pad(data, ((0, n_pad - n), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Fused conditional histogram (reference: src/codebook.c:185-203).
+#
+# cond[col-1, cluster*72 + prev, cur] += 1 for every adjacent symbol pair.
+# One pass over the data: per (column-chunk, read-block) grid step, the
+# per-column histograms accumulate in VMEM-resident output blocks via
+# one-hot MXU matmuls; the unfused lax.scan path materializes the one-hot
+# operands to HBM every column. f32 matmuls are exact (block counts
+# <= BLOCK_N < 2^24).
+
+_COL_CHUNK = 32
+
+
+def _hist_kernel(nvalid_ref, prev_ref, cur_ref, cl_ref, out_ref, *,
+                 n_pairs, ca):
+    cc = pl.program_id(0)
+    i = pl.program_id(1)
+    nvalid = nvalid_ref[0]
+    ca_pad = out_ref.shape[1]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_N, 1), 0)
+    valid = (row + i * _BLOCK_N) < nvalid                 # (BLOCK_N, 1)
+    cbase = cl_ref[:].astype(jnp.int32) * ALPHABET_SIZE   # (BLOCK_N, 1)
+    ca_lane = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_N, ca_pad), 1)
+    sym_lane = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_N, _LANE), 1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for k in range(_COL_CHUNK):
+        @pl.when(cc * _COL_CHUNK + k < n_pairs)
+        def _(k=k):
+            prev = prev_ref[k, :].astype(jnp.int32)[:, None]  # (BLOCK_N,1)
+            cur = cur_ref[k, :].astype(jnp.int32)[:, None]
+            prev_oh = (((cbase + prev) == ca_lane) & valid
+                       ).astype(jnp.float32)
+            cur_oh = (cur == sym_lane).astype(jnp.float32)
+            h = jax.lax.dot_general(
+                prev_oh.T, cur_oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[k] = out_ref[k] + h.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "interpret"))
+def cond_hist_fused(data_u8: jnp.ndarray, clusters_u8: jnp.ndarray,
+                    n_valid: jnp.ndarray, n_clusters: int,
+                    interpret: bool = False):
+    """Conditional transition histograms on TPU.
+
+    data_u8: (N_pad, cols) uint8, N_pad % BLOCK_N == 0; clusters_u8:
+    (N_pad,) uint8; n_valid: scalar count of real rows. Returns
+    cond (cols-1, n_clusters*72, 72) int32.
+    """
+    n_pad, cols = data_u8.shape
+    ca = n_clusters * ALPHABET_SIZE
+    ca_pad = -(-ca // 8) * 8
+    n_pairs = cols - 1
+    pairs_pad = -(-n_pairs // _COL_CHUNK) * _COL_CHUNK
+
+    data_t = data_u8.T.astype(jnp.int8)                   # (cols, N_pad)
+    prev = jnp.pad(data_t[:-1], ((0, pairs_pad - n_pairs), (0, 0)))
+    cur = jnp.pad(data_t[1:], ((0, pairs_pad - n_pairs), (0, 0)))
+    cl = clusters_u8.astype(jnp.int8)[:, None]            # (N_pad, 1)
+
+    kernel = functools.partial(_hist_kernel, n_pairs=n_pairs, ca=ca)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pairs_pad // _COL_CHUNK, n_pad // _BLOCK_N),
+            in_specs=[
+                pl.BlockSpec((_COL_CHUNK, _BLOCK_N),
+                             lambda c, i, s: (c, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_COL_CHUNK, _BLOCK_N),
+                             lambda c, i, s: (c, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLOCK_N, 1), lambda c, i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_COL_CHUNK, ca_pad, _LANE),
+                                   lambda c, i, s: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((pairs_pad, ca_pad, _LANE),
+                                       jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], dtype=jnp.int32), prev, cur, cl)
+    return out[:n_pairs, :ca, :ALPHABET_SIZE]

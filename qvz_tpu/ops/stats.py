@@ -69,18 +69,40 @@ def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
 
     Chunks the reads axis so per-cell int32 counts cannot overflow, and
     accumulates chunk results in int64 on host.
+
+    A fused Pallas variant exists (pallas_kernels.cond_hist_fused,
+    bit-identical, VMEM-resident histograms); on v5e XLA lowers this
+    scan at least as well, so the scan is the default. Set
+    QVZ_TPU_PALLAS_HIST=1 to use the Pallas kernel.
     """
+    import os
+
     A = ALPHABET_SIZE
     n, cols = data.shape
     if clusters is None:
         clusters = np.zeros(n, dtype=np.uint8)
+    use_pallas_hist = bool(os.environ.get("QVZ_TPU_PALLAS_HIST"))
     counts0 = np.zeros((n_clusters, A), dtype=np.int64)
     cond = np.zeros((n_clusters, cols - 1, A, A), dtype=np.int64)
     for s in range(0, n, _CHUNK):
         e = min(n, s + _CHUNK)
         dt = jnp.asarray(np.ascontiguousarray(data[s:e]), dtype=jnp.uint8)
         cl = jnp.asarray(clusters[s:e], dtype=jnp.uint8)
-        c0, cd = _hist_device(dt, cl, n_clusters)
+        if use_pallas_hist:
+            import jax
+
+            from qvz_tpu.ops import pallas_kernels as pk
+            dp = jnp.asarray(pk.pad_rows(np.asarray(dt)))
+            clp = jnp.pad(cl, (0, dp.shape[0] - (e - s)))
+            cd = pk.cond_hist_fused(
+                dp, clp, jnp.int32(e - s), n_clusters,
+                interpret=jax.default_backend() == "cpu")
+            idx0 = cl.astype(jnp.int32) * A + dt[:, 0].astype(jnp.int32)
+            c0 = jax.ops.segment_sum(
+                jnp.ones((e - s,), dtype=jnp.int32), idx0,
+                num_segments=n_clusters * A).reshape(n_clusters, A)
+        else:
+            c0, cd = _hist_device(dt, cl, n_clusters)
         counts0 += np.asarray(c0, dtype=np.int64)
         cd = np.asarray(cd, dtype=np.int64)  # (cols-1, C*72, 72)
         cond += cd.reshape(cols - 1, n_clusters, A, A).transpose(1, 0, 2, 3)

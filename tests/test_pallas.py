@@ -60,3 +60,23 @@ def test_padded_rows_excluded():
     assert int(np.asarray(c).sum()) == n
     assert np.array_equal(np.asarray(s), sr)
     assert np.array_equal(np.asarray(c), cr)
+
+
+@pytest.mark.parametrize("n,cols,K", [(1100, 50, 3), (600, 100, 1),
+                                      (2048, 33, 2)])
+def test_cond_hist_matches_oracle(n, cols, K):
+    from qvz_tpu.ops.pallas_kernels import cond_hist_fused
+    rng = np.random.default_rng(n + K)
+    data = rng.integers(0, 72, size=(n, cols)).astype(np.uint8)
+    cl = rng.integers(0, K, size=n).astype(np.uint8)
+    dp = pad_rows(data)
+    clp = np.pad(cl, (0, dp.shape[0] - n))
+    cond = np.asarray(cond_hist_fused(
+        jnp.asarray(dp), jnp.asarray(clp), jnp.int32(n), K,
+        interpret=True))
+    want = np.zeros((cols - 1, K * 72, 72), dtype=np.int64)
+    for i in range(n):
+        row = data[i].astype(np.int64)
+        base = int(cl[i]) * 72
+        np.add.at(want, (np.arange(cols - 1), base + row[:-1], row[1:]), 1)
+    assert np.array_equal(cond, want)

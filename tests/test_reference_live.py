@@ -48,6 +48,32 @@ CONFIGS = [
 ]
 
 
+def test_custom_distortion_bit_parity(ref_bin, tmp_path):
+    """-D custom-matrix mode (distortion.c:100-145), not covered by the
+    checked-in goldens."""
+    from qvz_tpu import cli
+
+    # a well-behaved metric (zero diagonal, monotone in |x-y|): the
+    # reference's design code crashes on arbitrary noisy matrices
+    mat = np.round(np.abs(np.subtract.outer(np.arange(72.0),
+                                            np.arange(72.0))) ** 1.5, 2)
+    dfile = tmp_path / "dist.txt"
+    lines = ["# custom matrix"]
+    lines += [",".join(f"{v:g}" for v in row) for row in mat]
+    dfile.write_text("\n".join(lines) + "\n")
+
+    inp = tmp_path / "in.qual"
+    synth_file(inp, 800, 25, 404)
+
+    ref_q, our_q = tmp_path / "ref.q", tmp_path / "our.q"
+    r = subprocess.run([str(ref_bin), "-f", "0.6", "-D", str(dfile),
+                        "-s", str(inp), str(ref_q)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["qvz", "-f", "0.6", "-D", str(dfile), "--debug-seed",
+                     "--no-jax", str(inp), str(our_q)]) == 0
+    assert our_q.read_bytes() == ref_q.read_bytes()
+
+
 @pytest.mark.parametrize("flags,n,cols,seed", CONFIGS)
 def test_random_config_bit_parity(ref_bin, tmp_path, flags, n, cols, seed):
     from qvz_tpu import cli
