@@ -35,14 +35,19 @@ def load_quality_file(path_or_bytes):
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = np.frombuffer(bytes(path_or_bytes), dtype=np.uint8)
     else:
-        raw = np.fromfile(path_or_bytes, dtype=np.uint8)
-    nl = np.nonzero(raw == ord("\n"))[0]
+        # memory-map like the reference (lines.c:64): pages fault in on
+        # demand, so multi-GB files don't need an upfront read.
+        raw = np.memmap(path_or_bytes, dtype=np.uint8, mode="r")
+    head = np.asarray(raw[: min(len(raw), 1 << 20)])
+    nl = np.nonzero(head == ord("\n"))[0]
     if len(nl) == 0:
         raise ValueError("no newline found in quality file")
     columns = int(nl[0])
     lines = len(raw) // (columns + 1)
     data = raw[: lines * (columns + 1)].reshape(lines, columns + 1)
-    return np.ascontiguousarray(data[:, :columns]) - PHRED_OFFSET
+    # subtracting the Phred offset materializes the symbol matrix once
+    sym = data[:, :columns] - PHRED_OFFSET
+    return np.ascontiguousarray(sym)
 
 
 def lines_to_bytes(symbols: np.ndarray) -> bytes:
