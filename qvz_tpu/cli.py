@@ -52,6 +52,8 @@ def usage(name: str) -> None:
     print("   --well-state F : Load a raw 128-byte WELL state from F")
     print("   --no-jax     : Force the host-only pipeline (no accelerator)")
     print("   --jax        : Force the device pipeline (default: auto by input size)")
+    print("   --reuse-books F : Reuse the codebooks of a previous compressed file F")
+    print("                  (skips the statistics + design phases)")
     print("   --profile D  : Write phase-timing JSON (and, with QVZ_TPU_JAX_TRACE=1,")
     print("                  a jax.profiler trace) to directory D")
     print("   --shards N   : Encode a sharded QVZ2 container with N parallel streams")
@@ -78,7 +80,7 @@ def main(argv=None) -> int:
         "uncompressed": None, "distortion": DISTORTION_MSE,
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
         "debug_seed": False, "well_state_file": None, "use_jax": "auto",
-        "shards": 1, "profile_dir": None,
+        "shards": 1, "profile_dir": None, "reuse_books": None,
     }
     i = 1
     try:
@@ -151,6 +153,9 @@ def _parse_and_dispatch(argv, name, opts, i) -> int:
         elif a == "--well-state":
             opts["well_state_file"] = argv[i + 1]
             i += 2
+        elif a == "--reuse-books":
+            opts["reuse_books"] = argv[i + 1]
+            i += 2
         elif a == "--profile":
             opts["profile_dir"] = argv[i + 1]
             i += 2
@@ -214,11 +219,28 @@ def _run(opts, extract, input_name, output_name) -> int:
     t0 = time.perf_counter()
     dist = make_matrix(opts["distortion"], path=opts["dist_file"])
     data = load_quality_file(input_name)
+    reuse_blocks = None
+    if opts.get("reuse_books"):
+        from qvz_tpu.format import container_v2
+        prev = open(opts["reuse_books"], "rb").read()
+        if container_v2.is_v2(prev):
+            head = container_v2.parse(prev, blocks_len=None)
+            if head.cluster_count != opts["clusters"]:
+                raise ValueError("--reuse-books cluster count mismatch")
+            reuse_blocks = prev[container_v2.header_size():]
+        else:
+            cc, _, _ = __import__("qvz_tpu.format.container",
+                                  fromlist=["read_header"]
+                                  ).read_header(prev[:9])
+            if cc != opts["clusters"]:
+                raise ValueError("--reuse-books cluster count mismatch")
+            reuse_blocks = prev[9:]
     out = enc_mod.encode(
         data, dist, n_clusters=opts["clusters"], mode=opts["mode"],
         ratio=opts["ratio"], cluster_threshold=opts["cluster_threshold"],
         well_state=_make_well(opts), use_jax=opts["use_jax"],
-        shards=opts["shards"], want_recon=bool(opts["uncompressed"]))
+        shards=opts["shards"], reuse_blocks=reuse_blocks,
+        want_recon=bool(opts["uncompressed"]))
     with open(output_name, "wb") as f:
         f.write(out.compressed)
     if opts["uncompressed"]:

@@ -84,10 +84,19 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            use_jax: bool | str = "auto",
            shards: int = 1,
            mesh=None,
+           reuse_blocks: bytes | None = None,
            want_recon: bool = True) -> EncodeOutput:
     """mesh: optional jax.sharding.Mesh with a 'reads' axis — the heavy
     statistics/clustering passes then run data-parallel over its devices
-    with integer psum merging (bit-identical to the 1-device path)."""
+    with integer psum merging (bit-identical to the 1-device path).
+
+    reuse_blocks: serialized codebook blocks from a previous encode
+    (the container's codebook section) — skips the statistics and
+    design phases entirely. The design phase is the pipeline's natural
+    checkpoint boundary (SURVEY §5): its output fully determines the
+    coder, and coding is restartable per shard. Clustering must still
+    assign reads; with reuse the k-means centroids are re-derived from
+    the data (cluster ids are per-read, not in the blocks)."""
     n, columns = data.shape
     if shards == 0:
         shards = os.cpu_count() or 1
@@ -120,6 +129,17 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     t1 = time.perf_counter()
     stats.phase_seconds["cluster"] = t1 - t0
 
+    # --- checkpoint reuse: skip stats + design entirely ---------------------
+    if reuse_blocks is not None:
+        tables = rt.tables_from_blocks(reuse_blocks, n_clusters, columns)
+        blocks = reuse_blocks[:tables.consumed]
+        t3 = time.perf_counter()
+        stats.phase_seconds["stats"] = 0.0
+        stats.phase_seconds["design"] = t3 - t1
+        return _finish_encode(data, dist_matrix, clusters, cluster_arr,
+                              blocks, tables, n, columns, n_clusters,
+                              shards, well_state, want_recon, stats, t3)
+
     # --- statistics ---------------------------------------------------------
     if mesh is not None:
         from qvz_tpu.parallel import sharded
@@ -142,6 +162,14 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     t3 = time.perf_counter()
     stats.phase_seconds["design"] = t3 - t2
 
+    return _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks,
+                          tables, n, columns, n_clusters, shards,
+                          well_state, want_recon, stats, t3)
+
+
+def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
+                   n, columns, n_clusters, shards, well_state, want_recon,
+                   stats, t3):
     # --- fused quantize + dither + entropy coding -----------------------------
     well_bytes = well_state.to_bytes()
     order = [(well_state.n + i) & 31 for i in range(32)]

@@ -80,3 +80,24 @@ def test_decode_malformed_container(tmp_path, capsys):
 def test_help(capsys):
     assert cli.main(["qvz", "-h"]) == 0
     assert "-f [ratio]" in capsys.readouterr().out
+
+
+def test_reuse_books_reproduces_container(qfile, tmp_path):
+    comp1 = tmp_path / "a.q"
+    comp2 = tmp_path / "b.q"
+    base = ["qvz", "-f", "0.5", "--debug-seed", "--no-jax"]
+    assert cli.main([*base, str(qfile), str(comp1)]) == 0
+    assert cli.main([*base, "--reuse-books", str(comp1), str(qfile),
+                     str(comp2)]) == 0
+    assert comp1.read_bytes() == comp2.read_bytes()
+
+
+def test_reuse_books_cluster_mismatch(qfile, tmp_path, capsys):
+    comp = tmp_path / "a.q"
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                     str(qfile), str(comp)]) == 0
+    rc = cli.main(["qvz", "-c", "3", "-f", "0.5", "--no-jax",
+                   "--reuse-books", str(comp), str(qfile),
+                   str(tmp_path / "b.q")])
+    assert rc == 1
+    assert "mismatch" in capsys.readouterr().out
