@@ -17,9 +17,15 @@ Layout (all integers big-endian):
     [0:4]    magic b"QVZ2"
     [4]      format version (2)
     [5]      cluster count
-    [6:10]   columns  u32
-    [10:18]  lines    u64  (no uint32 truncation, unlike v1)
-    [18:22]  n_shards u32
+    [6]      symbol order: 0 = line-major (reference order),
+             1 = column-major (default — all cluster ids, then column 0
+             of every line, then column 1, ...; each column's adaptive
+             models stay L1-resident during coding, which the line-major
+             order cannot achieve once clusters*columns*contexts models
+             exceed the cache)
+    [7:11]   columns  u32
+    [11:19]  lines    u64  (no uint32 truncation, unlike v1)
+    [19:23]  n_shards u32
     then the per-cluster ASCII codebook blocks (identical to v1)
     then 128 bytes raw file-level WELL-1024a state
     then per shard:
@@ -41,7 +47,9 @@ from dataclasses import dataclass
 
 MAGIC = b"QVZ2"
 VERSION = 2
-_HEAD = struct.Struct(">4sBBIQI")
+ORDER_LINE = 0   # reference symbol order: line-major
+ORDER_COL = 1    # column-major: per-column model locality (default)
+_HEAD = struct.Struct(">4sBBBIQI")
 _SHARD = struct.Struct(">QQ")
 
 
@@ -61,6 +69,7 @@ class ContainerV2:
     blocks: bytes  # codebook blocks span (for tables_from_blocks)
     well_state: bytes  # file-level 128-byte state
     shards: list
+    order: int = ORDER_COL
 
 
 def is_v2(data: bytes) -> bool:
@@ -68,7 +77,8 @@ def is_v2(data: bytes) -> bool:
 
 
 def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
-          shard_lines: list, shard_states: list, payloads: list) -> bytes:
+          shard_lines: list, shard_states: list, payloads: list,
+          order: int = ORDER_COL) -> bytes:
     """Assemble a QVZ2 container.
 
     shard_lines: lines per shard; shard_states: 128-byte WELL start
@@ -77,8 +87,8 @@ def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
     n_shards = len(payloads)
     assert len(shard_lines) == n_shards and len(shard_states) == n_shards
     out = bytearray()
-    out += _HEAD.pack(MAGIC, VERSION, cluster_count, columns, lines,
-                      n_shards)
+    out += _HEAD.pack(MAGIC, VERSION, cluster_count, order, columns,
+                      lines, n_shards)
     out += blocks
     file_state = shard_states[0]
     assert len(file_state) == 128
@@ -100,11 +110,13 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     with blocks_len=None to read the fixed header only — blocks/shards
     empty — then again with the measured length).
     """
-    magic, version, cc, columns, lines, n_shards = _HEAD.unpack(
+    magic, version, cc, order, columns, lines, n_shards = _HEAD.unpack(
         data[:_HEAD.size])
     if magic != MAGIC or version != VERSION:
         raise ValueError("not a QVZ2 container")
-    head = ContainerV2(cc, columns, lines, b"", b"", [])
+    if order not in (ORDER_LINE, ORDER_COL):
+        raise ValueError("unknown QVZ2 symbol order")
+    head = ContainerV2(cc, columns, lines, b"", b"", [], order)
     if blocks_len is None:
         return head
     pos = _HEAD.size

@@ -136,5 +136,13 @@ def load() -> ctypes.CDLL:
         c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p]
     lib.qvz_decode_lines.restype = c.c_int32
 
+    lib.qvz_encode_fused_colmajor.argtypes = [
+        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p, c.c_int64]
+    lib.qvz_encode_fused_colmajor.restype = c.c_int64
+
+    lib.qvz_decode_colmajor.argtypes = [
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p]
+    lib.qvz_decode_colmajor.restype = c.c_int32
+
     _lib = lib
     return lib

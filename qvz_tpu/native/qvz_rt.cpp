@@ -1265,6 +1265,153 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
   return n;
 }
 
+// --- column-major fused encode (QVZ2 shard payloads) -----------------------
+
+// Same quantization decisions as qvz_encode_fused (identical WELL draw
+// consumption order => identical reconstruction), but the SYMBOLS are
+// entropy-coded column-major: all cluster ids first, then column 0 of
+// every line, then column 1, ... Each column touches only its own few
+// adaptive models, so the model working set stays L1-resident instead of
+// striding through the whole bank once per line — the line-major order
+// is cache-miss bound when clusters*columns*contexts models exceed L2.
+//
+// data_t: column-major (columns x n_lines) symbols. recon_t (optional)
+// is written column-major too. Returns payload bytes or -(needed).
+int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
+                                  uint64_t n_lines,
+                                  const uint8_t* cluster_ids,
+                                  const uint32_t* well_state,
+                                  const double* dist, uint8_t* recon_t,
+                                  double* distortion_out, uint8_t* out,
+                                  int64_t cap) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  BitWriter bw(out, cap);
+  Encoder enc(&bw);
+
+  // Dither draws are defined in (line, column) order; materialize them
+  // transposed so the per-column pass reads sequentially.
+  std::vector<uint8_t> draws_t(static_cast<size_t>(n_lines) * columns);
+  {
+    std::vector<uint8_t> draws(static_cast<size_t>(n_lines) * columns);
+    Well well(well_state);
+    for (size_t i = 0; i < draws.size(); ++i) {
+      draws[i] = static_cast<uint8_t>(well.draw7());
+    }
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      for (uint32_t c = 0; c < columns; ++c) {
+        draws_t[static_cast<size_t>(c) * n_lines + i] =
+            draws[i * columns + c];
+      }
+    }
+  }
+
+  // Cluster ids first (model 0 stays hot).
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    bank.update(0, c);
+  }
+
+  std::vector<uint8_t> prev_qv(n_lines, 0);
+  double total_d = 0.0;
+  for (uint32_t col = 0; col < columns; ++col) {
+    const uint8_t* dcol = data_t + static_cast<size_t>(col) * n_lines;
+    const uint8_t* drawcol = draws_t.data() + static_cast<size_t>(col) * n_lines;
+    uint8_t* rcol = recon_t ? recon_t + static_cast<size_t>(col) * n_lines
+                            : nullptr;
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      uint32_t cl = cluster_ids ? cluster_ids[i] : 0;
+      uint64_t cc = static_cast<uint64_t>(cl) * columns + col;
+      int32_t ctx = tb->ctxmap[cc * A + prev_qv[i]];
+      uint64_t p = tb->pair_base[cc] + static_cast<uint32_t>(ctx);
+      uint32_t choice = drawcol[i] >= tb->qratio[p] ? 1u : 0u;
+      uint64_t pc = p * 2 + choice;
+      uint8_t d = dcol[i];
+      uint8_t qv = tb->qv_map[pc * A + d];
+      uint32_t x = tb->qs_map[pc * A + d];
+      uint32_t m = static_cast<uint32_t>(1 + pc);
+      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      bank.update(m, x);
+      if (dist) total_d += dist[static_cast<uint32_t>(d) * A + qv];
+      if (rcol) rcol[i] = qv;
+      prev_qv[i] = qv;
+    }
+  }
+  if (distortion_out) *distortion_out = total_d / columns;
+  int64_t n = enc.finish();
+  if (bw.overflow) return -n;
+  return n;
+}
+
+// Column-major decode matching qvz_encode_fused_colmajor. Writes
+// Phred+33 text lines with newlines into out ((columns+1) per line).
+int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
+                            uint64_t payload_len, uint64_t n_lines,
+                            const uint32_t* well_state, uint8_t* out) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  BitReader br(payload, payload_len);
+  Decoder dec(&br);
+
+  std::vector<uint8_t> draws_t(static_cast<size_t>(n_lines) * columns);
+  {
+    std::vector<uint8_t> draws(static_cast<size_t>(n_lines) * columns);
+    Well well(well_state);
+    for (size_t i = 0; i < draws.size(); ++i) {
+      draws[i] = static_cast<uint8_t>(well.draw7());
+    }
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      for (uint32_t c = 0; c < columns; ++c) {
+        draws_t[static_cast<size_t>(c) * n_lines + i] =
+            draws[i * columns + c];
+      }
+    }
+  }
+
+  std::vector<uint8_t> cl(n_lines, 0);
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = dec.step(bank.counts.data() + bank.off[0], bank.total[0]);
+    bank.update(0, c);
+    if (dec.bad) return -3;
+    if (c >= tb->n_clusters) return -1;
+    cl[i] = static_cast<uint8_t>(c);
+  }
+
+  std::vector<uint8_t> prev_qv(n_lines, 0);
+  for (uint32_t col = 0; col < columns; ++col) {
+    const uint8_t* drawcol = draws_t.data() + static_cast<size_t>(col) * n_lines;
+    bool last_col = (col + 1 == columns);
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      uint64_t cc = static_cast<uint64_t>(cl[i]) * columns + col;
+      int32_t ctx = tb->ctxmap[cc * A + prev_qv[i]];
+      if (ctx < 0) return -2;
+      uint64_t p = tb->pair_base[cc] + static_cast<uint32_t>(ctx);
+      uint32_t choice = drawcol[i] >= tb->qratio[p] ? 1u : 0u;
+      uint32_t m = static_cast<uint32_t>(1 + p * 2 + choice);
+      uint32_t x;
+      if (last_col && i + 1 == n_lines) {
+        x = dec.last(bank.counts.data() + bank.off[m], bank.total[m]);
+      } else {
+        x = dec.step(bank.counts.data() + bank.off[m], bank.total[m]);
+        bank.update(m, x);
+        if (dec.bad) return -3;
+      }
+      uint8_t qv = tb->model_syms[tb->model_off[m] + x];
+      out[i * (columns + 1) + col] = static_cast<uint8_t>(qv + 33);
+      prev_qv[i] = qv;
+    }
+  }
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    out[i * (columns + 1) + columns] = '\n';
+  }
+  return 0;
+}
+
 // --- full decode -----------------------------------------------------------
 
 // Decodes the payload into Phred+33 text lines with trailing newlines.

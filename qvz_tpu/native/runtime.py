@@ -227,6 +227,62 @@ def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
         cap = -r + 4096
 
 
+def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
+                          well_state_words, dist: np.ndarray | None = None,
+                          want_recon: bool = False):
+    """Column-major fused encode (QVZ2 shard payloads).
+
+    data_t: (cols, n) uint8 column-major symbols. Identical quantization
+    decisions (and reconstruction) to encode_fused; only the entropy-
+    coding order differs, keeping each column's adaptive models
+    L1-resident. Returns (payload, recon (n, cols) or None, dist_sum).
+    """
+    lib = native.load()
+    cols, n = data_t.shape
+    data_t = np.ascontiguousarray(data_t, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    d = (np.ascontiguousarray(dist, dtype=np.float64)
+         if dist is not None else None)
+    recon_t = np.empty((cols, n), dtype=np.uint8) if want_recon else None
+    dsum = ctypes.c_double(0.0)
+    cap = n * cols + (n * cols) // 2 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.qvz_encode_fused_colmajor(
+            tables._h, _ptr(data_t, _u8p), n,
+            _ptr(cl, _u8p) if cl is not None else None,
+            _ptr(st, _u32p),
+            _ptr(d, _dp) if d is not None else None,
+            _ptr(recon_t, _u8p) if recon_t is not None else None,
+            ctypes.byref(dsum), _ptr(out, _u8p), cap)
+        if r >= 0:
+            recon = recon_t.T.copy() if recon_t is not None else None
+            return out[:r].tobytes(), recon, dsum.value
+        cap = -r + 4096
+
+
+def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
+                    well_state_words, out: np.ndarray | None = None
+                    ) -> np.ndarray:
+    """Decode a column-major shard payload to Phred+33 text lines."""
+    lib = native.load()
+    cols = tables.columns
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    if out is None:
+        out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
+    else:
+        assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
+        assert out.size == n_lines * (cols + 1)
+    r = lib.qvz_decode_colmajor(tables._h, _ptr(pay, _u8p), len(pay),
+                                n_lines, _ptr(st, _u32p), _ptr(out, _u8p))
+    if r != 0:
+        raise ValueError(f"decode failed with status {r}")
+    return out.reshape(n_lines, cols + 1)
+
+
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
                  well_state_words, out: np.ndarray | None = None
                  ) -> np.ndarray:

@@ -43,12 +43,15 @@ def _decode_v2(compressed: bytes) -> np.ndarray:
     offs = np.concatenate(
         [[0], np.cumsum([s.lines for s in head.shards])]).astype(np.int64)
 
+    dec_fn = (rt.decode_colmajor if head.order == container_v2.ORDER_COL
+              else rt.decode_lines)
+
     def run(i):
         s = head.shards[i]
         well = np.frombuffer(s.well_state, dtype="<u4")
         payload = compressed[s.payload_off:s.payload_off + s.payload_len]
-        rt.decode_lines(tables, payload, s.lines, well,
-                        out=out[offs[i]:offs[i + 1]].reshape(-1))
+        dec_fn(tables, payload, s.lines, well,
+               out=out[offs[i]:offs[i + 1]].reshape(-1))
 
     with ThreadPoolExecutor(
             max_workers=min(len(head.shards), os.cpu_count() or 1)) as ex:

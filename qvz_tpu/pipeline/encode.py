@@ -195,8 +195,9 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
 
         def run(s):
             lo, hi = offs[s], offs[s + 1]
-            return rt.encode_fused(
-                tables, data[lo:hi],
+            # each worker transposes its own shard (parallel, one copy)
+            return rt.encode_fused_colmajor(
+                tables, np.ascontiguousarray(data[lo:hi].T),
                 clusters[lo:hi] if clusters is not None else None,
                 states[s], dist=dist_matrix, want_recon=want_recon)
 

@@ -88,7 +88,7 @@ def test_v2_shard_payloads_are_independent_streams():
         payload = out.compressed[s.payload_off:s.payload_off
                                  + s.payload_len]
         well = np.frombuffer(s.well_state, dtype="<u4")
-        got = rt.decode_lines(tables, payload, s.lines, well)
+        got = rt.decode_colmajor(tables, payload, s.lines, well)
         assert np.array_equal(got, full[row:row + s.lines])
         row += s.lines
     assert row == head.lines
