@@ -363,8 +363,12 @@ struct Quant {
 
 // Reference-exact Lloyd-Max (quantizer.c:34-132). See spec/quantizer.py
 // for the full semantics commentary; loop orders are identical.
-static void lloyd_max(const double* pmf, const double* dist, int states,
-                      Quant* out) {
+// dist_t is the transposed distortion matrix (dist_t[r*A+i] ==
+// dist[i*A+r]): the candidate-scan inner loop then reads contiguous
+// doubles. The i-accumulation order is unchanged, so every double
+// rounds identically to the reference.
+static void lloyd_max(const double* pmf, const double* dist,
+                      const double* dist_t, int states, Quant* out) {
   int bounds[A + 1];
   int rec[A];
   bounds[0] = 0;
@@ -380,10 +384,38 @@ static void lloyd_max(const double* pmf, const double* dist, int states,
     for (int j = 0; j < states; ++j) {
       double min_mse = DBL_MAX;
       int min_r = bounds[j];
-      for (int r = bounds[j]; r < bounds[j + 1]; ++r) {
+      int lo = bounds[j], hi = bounds[j + 1];
+      // Four candidate points at once: each accumulator is its own
+      // ascending-i chain (bit-identical to the scalar loop) and the
+      // independent chains hide FP add latency. Winner comparisons
+      // run in ascending r with strict <, exactly like the reference.
+      int r = lo;
+      for (; r + 3 < hi; r += 4) {
+        const double* d0 = dist_t + static_cast<size_t>(r) * A;
+        const double* d1 = d0 + A;
+        const double* d2 = d1 + A;
+        const double* d3 = d2 + A;
+        double m0 = 0.0, m1 = 0.0, m2 = 0.0, m3 = 0.0;
+        for (int i = lo; i < hi; ++i) {
+          double p = pmf[i];
+          m0 += p * d0[i];
+          m1 += p * d1[i];
+          m2 += p * d2[i];
+          m3 += p * d3[i];
+        }
+        double ms[4] = {m0, m1, m2, m3};
+        for (int t = 0; t < 4; ++t) {
+          if (ms[t] < min_mse) {
+            min_r = r + t;
+            min_mse = ms[t];
+          }
+        }
+      }
+      for (; r < hi; ++r) {
+        const double* drow = dist_t + static_cast<size_t>(r) * A;
         double mse = 0.0;
-        for (int i = bounds[j]; i < bounds[j + 1]; ++i) {
-          mse += pmf[i] * dist[i * A + r];
+        for (int i = lo; i < hi; ++i) {
+          mse += pmf[i] * drow[i];
         }
         if (mse < min_mse) {
           min_r = r;
@@ -438,21 +470,22 @@ static double entropy_of(const double* pmf) {
 // States sweep bracketing the entropy target (codebook.c:230-269).
 // Returns the lo-selection probability; fills lo/hi.
 static double optimize_for_entropy(const double* pmf, const double* dist,
-                                   double target, Quant* lo, Quant* hi) {
+                                   const double* dist_t, double target,
+                                   Quant* lo, Quant* hi) {
   if (target == 0.0) {
-    lloyd_max(pmf, dist, 1, lo);
-    lloyd_max(pmf, dist, 1, hi);
+    lloyd_max(pmf, dist, dist_t, 1, lo);
+    lloyd_max(pmf, dist, dist_t, 1, hi);
     return 1.0;
   }
   int states = 1;
-  lloyd_max(pmf, dist, states, hi);
+  lloyd_max(pmf, dist, dist_t, states, hi);
   double hi_h = quantized_entropy(*hi, pmf);
   double lo_h = hi_h;
   for (;;) {
     *lo = *hi;
     lo_h = hi_h;
     ++states;
-    lloyd_max(pmf, dist, states, hi);
+    lloyd_max(pmf, dist, dist_t, states, hi);
     hi_h = quantized_entropy(*hi, pmf);
     if (!(hi_h < target && states < A)) break;
   }
@@ -515,6 +548,12 @@ static std::vector<ColumnDesign> design_cluster(
     bool threaded = true) {
   std::vector<ColumnDesign> books(columns);
 
+  // Transposed distortion for the Lloyd-Max inner loop (see lloyd_max).
+  std::vector<double> dist_t(static_cast<size_t>(A) * A);
+  for (int i = 0; i < A; ++i) {
+    for (int r = 0; r < A; ++r) dist_t[static_cast<size_t>(r) * A + i] = dist[static_cast<size_t>(i) * A + r];
+  }
+
   // Marginal column pmfs via the chained total-probability recursion
   // (codebook.c:208-218): acc = 1.0*acc + w_j * P(.|j), j ascending.
   std::vector<std::vector<double>> marg(columns, std::vector<double>(A, 0.0));
@@ -538,7 +577,8 @@ static std::vector<ColumnDesign> design_cluster(
   b0.input_syms = {0};
   b0.lo.resize(1);
   b0.hi.resize(1);
-  double ratio = optimize_for_entropy(pmf0, dist, target, &b0.lo[0], &b0.hi[0]);
+  double ratio = optimize_for_entropy(pmf0, dist, dist_t.data(), target,
+                                      &b0.lo[0], &b0.hi[0]);
   b0.lo[0].ratio = ratio;
   b0.hi[0].ratio = 1 - ratio;
   b0.ratio = {ratio};
@@ -643,8 +683,8 @@ static std::vector<ColumnDesign> design_cluster(
     parallel_for(un, threaded, [&](size_t j) {
       double tgt = (mode == 0) ? entropy_of(xpmf[j].data()) * opt_ratio
                                : opt_ratio;
-      double rj = optimize_for_entropy(xpmf[j].data(), dist, tgt,
-                                       &b.lo[j], &b.hi[j]);
+      double rj = optimize_for_entropy(xpmf[j].data(), dist, dist_t.data(),
+                                       tgt, &b.lo[j], &b.hi[j]);
       b.lo[j].ratio = rj;
       b.hi[j].ratio = 1 - rj;
       b.ratio[j] = rj;
