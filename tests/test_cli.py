@@ -101,3 +101,19 @@ def test_reuse_books_cluster_mismatch(qfile, tmp_path, capsys):
                    str(tmp_path / "b.q")])
     assert rc == 1
     assert "mismatch" in capsys.readouterr().out
+
+
+def test_library_api_round_trip(qfile, tmp_path):
+    import qvz_tpu.api as qvz
+
+    comp = tmp_path / "api.q"
+    stats = qvz.compress(str(qfile), str(comp), ratio=0.5,
+                         debug_seed=True, shards=2, use_jax=False)
+    assert stats.payload_bytes > 0
+    n = qvz.decompress(str(comp), str(tmp_path / "api.dec"))
+    assert n == stats.lines
+
+    blob, s2 = qvz.compress_bytes(qfile.read_bytes(), ratio=0.5,
+                                  debug_seed=True, use_jax=False)
+    text = qvz.decompress_bytes(blob)
+    assert len(text) == s2.lines * (s2.columns + 1)
