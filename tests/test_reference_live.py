@@ -106,3 +106,34 @@ def test_random_config_bit_parity(ref_bin, tmp_path, flags, n, cols, seed):
     assert subprocess.run([str(ref_bin), "-x", str(our_q),
                            str(cross)]).returncode == 0
     assert cross.read_bytes() == ref_dec.read_bytes()
+
+
+@pytest.mark.parametrize("n,cols", [(50, 1), (30, 1022), (1, 20), (2, 5)])
+def test_extreme_geometry_parity(ref_bin, tmp_path, n, cols):
+    """Format-envelope corners: single column, the 1022-column cap
+    (lines.h:13), single-line and two-line files."""
+    from qvz_tpu import cli
+
+    inp = tmp_path / "in.qual"
+    synth_file(inp, n, cols, seed=n * 1000 + cols)
+    ref_q, our_q = tmp_path / "ref.q", tmp_path / "our.q"
+    r = subprocess.run([str(ref_bin), "-f", "0.5", "-s", str(inp),
+                        str(ref_q)], capture_output=True)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                     str(inp), str(our_q)]) == 0
+    assert our_q.read_bytes() == ref_q.read_bytes()
+
+    ref_dec, our_dec = tmp_path / "ref.dec", tmp_path / "our.dec"
+    assert cli.main(["qvz", "-x", str(our_q), str(our_dec)]) == 0
+    if cols == 1:
+        # the reference DECODER segfaults on single-column files (its
+        # encoder works); gate ours on the encoder's own reconstruction
+        our_u, our_q2 = tmp_path / "our.u", tmp_path / "our2.q"
+        assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                         "-u", str(our_u), str(inp), str(our_q2)]) == 0
+        assert our_dec.read_bytes() == our_u.read_bytes()
+        return
+    assert subprocess.run([str(ref_bin), "-x", str(ref_q),
+                           str(ref_dec)]).returncode == 0
+    assert our_dec.read_bytes() == ref_dec.read_bytes()
