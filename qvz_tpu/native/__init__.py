@@ -125,6 +125,11 @@ def load() -> ctypes.CDLL:
     lib.qvz_well_jump.argtypes = [u32p, c.c_uint32, c.c_uint64, u32p]
     lib.qvz_well_jump.restype = None
 
+    i64p = c.POINTER(c.c_int64)
+    lib.qvz_kmeans_iter.argtypes = [
+        u8p, c.c_uint64, c.c_uint32, i64p, c.c_uint32, u8p, i64p, i64p]
+    lib.qvz_kmeans_iter.restype = None
+
     lib.qvz_stats.argtypes = [u8p, c.c_uint64, c.c_uint32, u8p, u64p, u64p]
     lib.qvz_stats.restype = None
 

@@ -1250,6 +1250,63 @@ void qvz_stats(const uint8_t* data, uint64_t n_lines, uint32_t columns,
   }
 }
 
+// --- host k-means ---------------------------------------------------------
+
+// One Lloyd iteration (cluster.c:136-171 + 80-113 semantics): first-min
+// integer-distance assignment and integer centroid accumulators.
+// Threaded over row blocks; per-thread partial sums merge as exact
+// integer adds (order-free). Caller owns the convergence loop.
+void qvz_kmeans_iter(const uint8_t* data, uint64_t n_lines, uint32_t cols,
+                     const int64_t* means, uint32_t k, uint8_t* assign,
+                     int64_t* sums, int64_t* counts) {
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nt = std::max(1u, hw);
+  uint64_t block = (n_lines + nt - 1) / nt;
+  nt = (n_lines + block - 1) / block;
+  std::vector<std::vector<int64_t>> psums(nt);
+  std::vector<std::vector<int64_t>> pcounts(nt);
+  std::vector<std::thread> ts;
+  for (size_t t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      uint64_t lo = t * block, hi = std::min(n_lines, lo + block);
+      auto& ms = psums[t];
+      auto& mc = pcounts[t];
+      ms.assign(static_cast<size_t>(k) * cols, 0);
+      mc.assign(k, 0);
+      for (uint64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = data + i * cols;
+        int64_t best = INT64_MAX;
+        uint32_t best_c = 0;
+        for (uint32_t c = 0; c < k; ++c) {
+          const int64_t* m = means + static_cast<size_t>(c) * cols;
+          int64_t d = 0;
+          for (uint32_t j = 0; j < cols; ++j) {
+            int64_t diff = static_cast<int64_t>(row[j]) - m[j];
+            d += diff * diff;
+          }
+          if (d < best) {
+            best = d;
+            best_c = c;
+          }
+        }
+        assign[i] = static_cast<uint8_t>(best_c);
+        mc[best_c] += 1;
+        int64_t* s = ms.data() + static_cast<size_t>(best_c) * cols;
+        for (uint32_t j = 0; j < cols; ++j) s[j] += row[j];
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  std::fill(sums, sums + static_cast<size_t>(k) * cols, 0);
+  std::fill(counts, counts + k, 0);
+  for (size_t t = 0; t < nt; ++t) {
+    for (uint32_t c = 0; c < k; ++c) counts[c] += pcounts[t][c];
+    for (size_t j = 0; j < static_cast<size_t>(k) * cols; ++j) {
+      sums[j] += psums[t][j];
+    }
+  }
+}
+
 // --- fused encode ---------------------------------------------------------
 
 // Quantize + arithmetic-code in ONE pass over the data with inline WELL

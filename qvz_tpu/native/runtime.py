@@ -172,6 +172,40 @@ def encode_lines(tables: Tables, cluster_ids, model_ids: np.ndarray,
         cap = -r + 4096
 
 
+def kmeans_host(data: np.ndarray, n_clusters: int, threshold: float,
+                rand=None):
+    """Reference-exact k-means on host threads; API-compatible with
+    ops.kmeans.kmeans_cluster (integer distances/means, first-min,
+    max-squared-movement stop vs threshold, cluster.c:212-243)."""
+    from qvz_tpu.constants import MAX_KMEANS_ITERATIONS
+    from qvz_tpu.spec.kmeans import seed_centroids
+
+    lib = native.load()
+    n, cols = data.shape
+    if n_clusters == 1:
+        return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    means = seed_centroids(data, n_clusters, rand).astype(np.int64)
+    assign = np.empty(n, dtype=np.uint8)
+    sums = np.empty((n_clusters, cols), dtype=np.int64)
+    counts = np.empty(n_clusters, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    iters = 0
+    while iters < MAX_KMEANS_ITERATIONS:
+        lib.qvz_kmeans_iter(_ptr(data, _u8p), n, cols,
+                            _ptr(means, i64p), n_clusters,
+                            _ptr(assign, _u8p), _ptr(sums, i64p),
+                            _ptr(counts, i64p))
+        iters += 1
+        new_means = sums // np.maximum(counts, 1)[:, None]
+        diff = (new_means - means).astype(np.float64)
+        moved = float((diff * diff).sum(axis=1).max())
+        means = new_means
+        if moved <= threshold:
+            break
+    return assign, means.astype(np.uint8), iters
+
+
 def stats_host(data: np.ndarray, clusters: np.ndarray | None,
                n_clusters: int):
     """Single-pass C++ conditional histogram (codebook.c:185-203).

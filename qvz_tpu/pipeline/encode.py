@@ -30,7 +30,6 @@ from qvz_tpu.constants import MODE_RATIO, PHRED_OFFSET
 from qvz_tpu.format import container
 from qvz_tpu.native import runtime as rt
 from qvz_tpu.ops.well import WellState
-from qvz_tpu.spec import kmeans as np_kmeans
 from qvz_tpu.spec.pipeline import lines_to_bytes, load_quality_file  # noqa: F401
 
 
@@ -123,7 +122,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
             data, n_clusters, cluster_threshold)
         clusters = cluster_arr
     else:
-        cluster_arr, _, _ = np_kmeans.kmeans_cluster(
+        cluster_arr, _, _ = rt.kmeans_host(
             data, n_clusters, cluster_threshold)
         clusters = cluster_arr
     t1 = time.perf_counter()
