@@ -117,3 +117,24 @@ def test_library_api_round_trip(qfile, tmp_path):
                                   debug_seed=True, use_jax=False)
     text = qvz.decompress_bytes(blob)
     assert len(text) == s2.lines * (s2.columns + 1)
+
+
+def test_well_state_flag_matches_debug_seed(qfile, tmp_path):
+    from qvz_tpu.ops.well import WellState
+
+    state_file = tmp_path / "ws.bin"
+    state_file.write_bytes(WellState.debug().to_bytes())
+    a, b = tmp_path / "a.q", tmp_path / "b.q"
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                     str(qfile), str(a)]) == 0
+    assert cli.main(["qvz", "-f", "0.5", "--well-state", str(state_file),
+                     "--no-jax", str(qfile), str(b)]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_verbose_output(qfile, tmp_path, capsys):
+    assert cli.main(["qvz", "-f", "0.5", "-v", "--debug-seed", "--no-jax",
+                     str(qfile), str(tmp_path / "v.q")]) == 0
+    out = capsys.readouterr().out
+    assert "Lines: 300" in out and "Columns: 25" in out
+    assert "distortion" in out and "Encoding took" in out
