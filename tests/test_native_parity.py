@@ -100,3 +100,30 @@ def test_native_well_draws_match_spec():
     ref = np.array([st.next_bits(7) for _ in range(10000)], dtype=np.uint8)
     got = rt.well_draws7(WellState.debug().state, 10000)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_single_column_golden(golden_dir):
+    """cols=1 envelope corner: the reference DECODER segfaults here, but
+    its encoder works; our encode matches it and our decode matches the
+    encoder's reconstruction."""
+    data = load_quality_file(golden_dir / "g_col1.in")
+    assert data.shape[1] == 1
+    out = enc_mod.encode(data, dm.make_matrix(DISTORTION_MSE),
+                         mode=MODE_RATIO, ratio=0.5, use_jax=False)
+    assert out.compressed == (golden_dir / "g_col1.q").read_bytes()
+    dec = dec_mod.decode(out.compressed)
+    recon = (golden_dir / "g_col1.u").read_bytes()
+    assert dec.tobytes() == recon
+
+
+def test_custom_distortion_golden(golden_dir):
+    from qvz_tpu.constants import DISTORTION_CUSTOM
+
+    data = load_quality_file(golden_dir / "g_custom.in")
+    dist = dm.make_matrix(DISTORTION_CUSTOM,
+                          path=str(golden_dir / "g_custom_dist.txt"))
+    out = enc_mod.encode(data, dist, mode=MODE_RATIO, ratio=0.3,
+                         use_jax=False)
+    assert out.compressed == (golden_dir / "g_custom.q").read_bytes()
+    dec = dec_mod.decode(out.compressed)
+    assert dec.tobytes() == (golden_dir / "g_custom.u").read_bytes()
