@@ -4,7 +4,7 @@ Phase structure mirrors the reference driver (src/main.c:18-127) with the
 heavy per-read passes on TPU and exact-semantics host steps in C++:
 
   1. load quality file                      (numpy, host)
-  2. k-means clustering                     (JAX on device; numpy fallback)
+  2. k-means clustering                     (Pallas on device; C++ fallback)
   3. conditional statistics                 (JAX on device; C++ fallback)
   4. codebook design                        (C++, exact doubles)
   5. fused quantize + WELL dither + coding  (C++, single sequential pass)
