@@ -14,22 +14,27 @@ from qvz_tpu.format import container, container_v2
 from qvz_tpu.native import runtime as rt
 
 
-def decode(compressed: bytes) -> np.ndarray:
+def decode(compressed: bytes, out: np.ndarray | None = None) -> np.ndarray:
     """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
 
     Accepts both the reference-compatible v1 container and the sharded
-    QVZ2 container (decoded with one host thread per shard)."""
+    QVZ2 container (decoded with one host thread per shard). `out` may
+    be a preallocated (lines, cols+1) uint8 buffer — e.g. an np.memmap —
+    written in place."""
     if container_v2.is_v2(compressed):
-        return _decode_v2(compressed)
+        return _decode_v2(compressed, out)
     cluster_count, columns, lines = container.read_header(compressed[:9])
     tables = rt.tables_from_blocks(compressed[9:], cluster_count, columns)
     pos = 9 + tables.consumed
     well_words = np.frombuffer(compressed[pos:pos + 128], dtype="<u4")
     payload = compressed[pos + 128:]
-    return rt.decode_lines(tables, payload, lines, well_words)
+    return rt.decode_lines(
+        tables, payload, lines, well_words,
+        out=out.reshape(-1) if out is not None else None)
 
 
-def _decode_v2(compressed: bytes) -> np.ndarray:
+def _decode_v2(compressed: bytes, out: np.ndarray | None = None
+               ) -> np.ndarray:
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -39,7 +44,8 @@ def _decode_v2(compressed: bytes) -> np.ndarray:
                                    head.columns)
     head = container_v2.parse(compressed, blocks_len=tables.consumed)
     cols = head.columns
-    out = np.empty((head.lines, cols + 1), dtype=np.uint8)
+    if out is None:
+        out = np.empty((head.lines, cols + 1), dtype=np.uint8)
     offs = np.concatenate(
         [[0], np.cumsum([s.lines for s in head.shards])]).astype(np.int64)
 
@@ -60,6 +66,19 @@ def _decode_v2(compressed: bytes) -> np.ndarray:
 
 
 def decode_to_file(compressed: bytes, path: str) -> int:
-    out = decode(compressed)
-    out.tofile(path)
-    return out.shape[0]
+    """Decode straight into a memory-mapped output file: shard threads
+    write their line ranges in place and the OS flushes pages lazily —
+    no second full-size copy at GB scale."""
+    if container_v2.is_v2(compressed):
+        head = container_v2.parse(compressed, blocks_len=None)
+        lines, cols = head.lines, head.columns
+    else:
+        _, cols, lines = container.read_header(compressed[:9])
+    if lines == 0:
+        open(path, "wb").close()
+        return 0
+    mm = np.memmap(path, dtype=np.uint8, mode="w+",
+                   shape=(lines, cols + 1))
+    decode(compressed, out=mm)
+    mm.flush()
+    return lines
