@@ -45,6 +45,13 @@ def load_quality_file(path_or_bytes):
     columns = int(nl[0])
     lines = len(raw) // (columns + 1)
     data = raw[: lines * (columns + 1)].reshape(lines, columns + 1)
+    # Framing check (divergence from the reference, which silently
+    # mis-frames ragged files): every line must be `columns` long.
+    bad = np.nonzero(data[:, columns] != ord("\n"))[0]
+    if len(bad):
+        raise ValueError(
+            f"line {int(bad[0]) + 1} is not {columns} symbols long "
+            "(all quality lines must have equal length)")
     # subtracting the Phred offset materializes the symbol matrix once
     sym = data[:, :columns] - PHRED_OFFSET
     return np.ascontiguousarray(sym)

@@ -138,3 +138,12 @@ def test_verbose_output(qfile, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Lines: 300" in out and "Columns: 25" in out
     assert "distortion" in out and "Encoding took" in out
+
+
+def test_ragged_input_rejected(tmp_path, capsys):
+    bad = tmp_path / "ragged.qual"
+    bad.write_bytes(b"IIIII\nIIII\nIIIII\n")
+    rc = cli.main(["qvz", "-f", "0.5", "--no-jax", str(bad),
+                   str(tmp_path / "o.q")])
+    assert rc == 1
+    assert "line 2" in capsys.readouterr().out
