@@ -150,6 +150,47 @@ def main() -> None:
             log("FATAL: decoded size mismatch")
             sys.exit(1)
 
+        # --- device ops (informational): steady-state TPU kernel rates.
+        # Run in a watchdogged subprocess — the shared-tunnel TPU in this
+        # environment has unbounded cold-start variance and must not be
+        # able to stall the headline measurement.
+        probe = (
+            "import time,numpy as np,jax,jax.numpy as jnp\n"
+            "from qvz_tpu.ops.stats import _hist_device\n"
+            "from qvz_tpu.ops.pallas_kernels import kmeans_step_fused,"
+            " pad_rows\n"
+            "rng=np.random.default_rng(0)\n"
+            "d=rng.integers(0,72,size=(100_000,100)).astype(np.uint8)\n"
+            "dd=jax.device_put(d); cl=jax.device_put(np.zeros(100_000,"
+            "dtype=np.uint8))\n"
+            "c0,cd=_hist_device(dd,cl,1); cd.block_until_ready()\n"
+            "t0=time.perf_counter()\n"
+            "for _ in range(10): c0,cd=_hist_device(dd,cl,1)\n"
+            "cd.block_until_ready()\n"
+            "print('hist_ms', (time.perf_counter()-t0)*100)\n"
+            "m=jnp.asarray(rng.integers(0,72,size=(4,100)),jnp.int32)\n"
+            "dp=jax.device_put(pad_rows(d))\n"
+            "a,s,c=kmeans_step_fused(dp,m,jnp.int32(100_000),4)\n"
+            "jax.block_until_ready((a,s,c))\n"
+            "t0=time.perf_counter()\n"
+            "for _ in range(10): a,s,c=kmeans_step_fused(dp,m,"
+            "jnp.int32(100_000),4)\n"
+            "jax.block_until_ready((a,s,c))\n"
+            "print('kmeans_ms', (time.perf_counter()-t0)*100)\n")
+        try:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = (str(REPO) + os.pathsep
+                                 + env.get("PYTHONPATH", ""))
+            r = subprocess.run([sys.executable, "-c", probe], env=env,
+                               capture_output=True, text=True, timeout=120)
+            for line in r.stdout.splitlines():
+                if line.startswith(("hist_ms", "kmeans_ms")):
+                    k, v = line.split()
+                    log(f"device/{k.replace('_ms','')}: {float(v):.2f} "
+                        "ms per 100k x 100 pass (steady-state)")
+        except Exception as e:  # never let the TPU probe sink the bench
+            log(f"device probe skipped: {e}")
+
         # --- reference ---------------------------------------------------
         ref_bin = build_reference(tmp)
         if ref_bin is not None:
