@@ -25,6 +25,7 @@
 #include <cfloat>
 #include <functional>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 #include <string>
 
@@ -678,9 +679,25 @@ static std::vector<ColumnDesign> design_cluster(
     b.hi.resize(un);
     b.ratio.resize(un);
     b.qratio.resize(un);
+    // Byte-identical xpmf rows produce byte-identical designs (the
+    // whole sweep is a deterministic function of the row), and
+    // degenerate/duplicate contexts are common at high rates — design
+    // each distinct row once and copy.
+    std::unordered_map<std::string, size_t> seen;
+    std::vector<size_t> rep(un);
+    std::vector<size_t> uniq;
+    for (size_t j = 0; j < un; ++j) {
+      std::string key(reinterpret_cast<const char*>(xpmf[j].data()),
+                      A * sizeof(double));
+      auto it = seen.emplace(std::move(key), j);
+      rep[j] = it.first->second;
+      if (it.second) uniq.push_back(j);
+    }
+
     // Contexts are independent designs with disjoint outputs, so the
     // threaded schedule cannot change any double-precision result.
-    parallel_for(un, threaded, [&](size_t j) {
+    parallel_for(uniq.size(), threaded, [&](size_t uj) {
+      size_t j = uniq[uj];
       double tgt = (mode == 0) ? entropy_of(xpmf[j].data()) * opt_ratio
                                : opt_ratio;
       double rj = optimize_for_entropy(xpmf[j].data(), dist, dist_t.data(),
@@ -690,6 +707,14 @@ static std::vector<ColumnDesign> design_cluster(
       b.ratio[j] = rj;
       b.qratio[j] = static_cast<uint8_t>(rj * 128.0);
     });
+    for (size_t j = 0; j < un; ++j) {
+      if (rep[j] != j) {
+        b.lo[j] = b.lo[rep[j]];
+        b.hi[j] = b.hi[rep[j]];
+        b.ratio[j] = b.ratio[rep[j]];
+        b.qratio[j] = b.qratio[rep[j]];
+      }
+    }
 
     prev_qpmf = std::move(qpmf);
   }
