@@ -4,8 +4,12 @@
 # prints the one-line benchmark JSON.
 
 PY ?= python
+CXX ?= g++
+NATIVE_DIR := qvz_tpu/native
+SAN_FLAGS := -O1 -g -std=c++17 -fno-omit-frame-pointer \
+  $(NATIVE_DIR)/qvz_rt.cpp $(NATIVE_DIR)/sanitize_harness.cpp
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast bench tsan asan clean
 
 all: native
 
@@ -21,6 +25,21 @@ test-fast:
 
 bench:
 	$(PY) bench.py
+
+# Whole-process sanitizer builds of the native runtime + threaded harness
+# (ctypes-dlopen'd .so can't be TSAN-instrumented reliably, so these link
+# qvz_rt.cpp directly into an executable that drives every threaded path:
+# design parallel_for, kmeans row threads, concurrent well_jump, per-shard
+# encode/decode threads). DESIGN.md's thread-safety claim cites these.
+tsan:
+	mkdir -p build
+	$(CXX) -fsanitize=thread $(SAN_FLAGS) -o build/qvz_tsan
+	TSAN_OPTIONS="halt_on_error=1" ./build/qvz_tsan
+
+asan:
+	mkdir -p build
+	$(CXX) -fsanitize=address,undefined $(SAN_FLAGS) -o build/qvz_asan
+	ASAN_OPTIONS="detect_leaks=1" ./build/qvz_asan
 
 clean:
 	rm -rf $${QVZ_TPU_CACHE:-$$HOME/.cache/qvz_tpu}

@@ -110,6 +110,8 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     with blocks_len=None to read the fixed header only — blocks/shards
     empty — then again with the measured length).
     """
+    if len(data) < _HEAD.size:
+        raise ValueError("truncated QVZ2 container (short header)")
     magic, version, cc, order, columns, lines, n_shards = _HEAD.unpack(
         data[:_HEAD.size])
     if magic != MAGIC or version != VERSION:
@@ -120,6 +122,12 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     if blocks_len is None:
         return head
     pos = _HEAD.size
+    # Every slice below is explicitly bounds-checked: the state slices
+    # flow into the native Well constructor, which memcpy's 32 words
+    # unconditionally — a short slice would be a heap over-read.
+    need = pos + blocks_len + 128 + n_shards * (_SHARD.size + 128)
+    if len(data) < need:
+        raise ValueError("truncated QVZ2 container (short directory)")
     head.blocks = data[pos:pos + blocks_len]
     pos += blocks_len
     head.well_state = data[pos:pos + 128]
@@ -134,6 +142,8 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     for nl, plen, st in metas:
         head.shards.append(ShardInfo(nl, pos, plen, st))
         pos += plen
+    if pos > len(data):
+        raise ValueError("truncated QVZ2 container (short payload)")
     if sum(s.lines for s in head.shards) != lines:
         raise ValueError("shard line counts do not sum to total lines")
     return head

@@ -12,6 +12,7 @@ import ctypes
 import hashlib
 import os
 import pathlib
+import platform
 import subprocess
 import tempfile
 
@@ -20,11 +21,13 @@ _SRC = _DIR / "qvz_rt.cpp"
 
 _CXXFLAGS = [
     "-O3", "-std=c++17", "-shared", "-fPIC",
-    # AVX2 for the integer hot loops. FP results stay bit-identical to
-    # the reference: contraction is off (no FMA fusing) and gcc never
+    # AVX2 for the integer hot loops (x86 only — non-x86 hosts build
+    # with the compiler's baseline arch). FP results stay bit-identical
+    # to the reference: contraction is off (no FMA fusing) and gcc never
     # reorders FP reductions without -ffast-math, so double summation
     # order — which decides discrete codebook outcomes — is preserved.
-    "-march=x86-64-v3",
+    *(["-march=x86-64-v3"] if platform.machine() in ("x86_64", "AMD64")
+      else []),
     "-ffp-contract=off", "-fno-fast-math",
     "-Wall",
 ]

@@ -24,6 +24,7 @@
 #include <cmath>
 #include <cfloat>
 #include <functional>
+#include <mutex>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -1208,17 +1209,26 @@ static void matvec(const Mat& m, const uint64_t* v, uint64_t* out) {
   }
 }
 
-// M^(2^k) table, grown on demand. Not thread-safe; callers hold the GIL.
-static std::vector<Mat>& pow_table() {
+// Full M^(2^k) table for k in [0, 63], built once under std::call_once:
+// ctypes releases the GIL during foreign calls, so concurrent
+// qvz_well_jump calls (e.g. two api.compress calls with shards>1 from
+// different threads) must not race on table growth. Eager full build
+// (~64 four-Russians matmuls, ~0.1 s, 8 MB) beats any locked lazy
+// scheme: after the one-time build every read is lock-free and no
+// reallocation can invalidate a concurrent reader.
+static const std::vector<Mat>& pow_table() {
   static std::vector<Mat> t;
-  if (t.empty()) t.push_back(step_matrix());
+  static std::once_flag built;
+  std::call_once(built, [] {
+    t.reserve(64);
+    t.push_back(step_matrix());
+    while (t.size() < 64) t.push_back(matmul(t.back(), t.back()));
+  });
   return t;
 }
 
 static const Mat& pow2(int k) {
-  std::vector<Mat>& t = pow_table();
-  while (static_cast<int>(t.size()) <= k) t.push_back(matmul(t.back(), t.back()));
-  return t[k];
+  return pow_table()[k];
 }
 
 }  // namespace welljump
@@ -1238,7 +1248,7 @@ void qvz_well_jump(const uint32_t* state, uint32_t n_chunks,
   for (int k = 0; k < 64; ++k) {
     if ((words_per_chunk >> k) & 1) bits[nb++] = k;
   }
-  if (nb) pow2(bits[nb - 1]);  // grow the table once
+  if (nb) pow_table();  // one-time full build (thread-safe)
   for (uint32_t c = 0; c < n_chunks; ++c) {
     vec_to_state(v, out + 32ull * c);
     if (c + 1 < n_chunks) {

@@ -305,6 +305,8 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
     cols = tables.columns
     pay = np.frombuffer(payload, dtype=np.uint8)
     st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    if st.size < 32:  # Well's ctor memcpy's 32 words unconditionally
+        raise ValueError("WELL state must be 32 words (128 bytes)")
     if out is None:
         out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
     else:
@@ -330,6 +332,8 @@ def decode_lines(tables: Tables, payload: bytes, n_lines: int,
     cols = tables.columns
     pay = np.frombuffer(payload, dtype=np.uint8)
     st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    if st.size < 32:  # Well's ctor memcpy's 32 words unconditionally
+        raise ValueError("WELL state must be 32 words (128 bytes)")
     if out is None:
         out = np.empty(n_lines * (cols + 1), dtype=np.uint8)
     else:

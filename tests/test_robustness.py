@@ -38,8 +38,24 @@ def test_truncated_v1(containers, cut):
 @pytest.mark.parametrize("cut", [10, 60, 300])
 def test_truncated_v2(containers, cut):
     _, v2 = containers
-    with pytest.raises((ValueError, IndexError, Exception)):
+    with pytest.raises((ValueError, IndexError)):
         dec_mod.decode(v2[:cut])
+
+
+def test_truncated_v2_everywhere(containers):
+    """Truncation at EVERY region — header, codebook blocks, file WELL
+    state, shard directory (incl. mid-state slices shorter than 128
+    bytes), payloads — must raise a controlled error, never a native
+    crash or an uncontrolled exception type (struct.error etc.)."""
+    _, v2 = containers
+    # A dense sample of cut points across the whole container plus the
+    # exact region boundaries.
+    cuts = sorted(set(
+        list(range(1, min(len(v2), 512), 7)) +
+        [len(v2) - 1, len(v2) // 2, len(v2) * 3 // 4]))
+    for cut in cuts:
+        with pytest.raises((ValueError, IndexError)):
+            dec_mod.decode(v2[:cut])
 
 
 def test_flipped_codebook_bytes_detected(containers):
