@@ -35,7 +35,16 @@ from qvz_tpu.spec.quantizer import Quantizer, find_output_alphabet
 
 
 def write_header(cluster_count: int, columns: int, lines: int) -> bytes:
-    # lines is truncated to uint32 exactly like codebook.c:482.
+    # lines is truncated to uint32 exactly like codebook.c:482 (kept for
+    # bit parity), but unlike the reference we warn: a >=2^32-line v1
+    # container decodes to the wrong line count. QVZ2 stores u64.
+    if lines >= 2**32:
+        import warnings
+        warnings.warn(
+            f"v1 container truncates line count {lines} to uint32 "
+            f"(reference quirk, codebook.c:482); the file will not decode "
+            f"fully — use the QVZ2 sharded container (--shards) instead",
+            RuntimeWarning, stacklevel=2)
     return struct.pack(">B", cluster_count) + \
         struct.pack(">I", columns) + struct.pack(">I", lines & 0xFFFFFFFF)
 

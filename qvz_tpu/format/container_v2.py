@@ -15,7 +15,7 @@ models restart adaptation, costing a few hundred bytes per shard).
 Layout (all integers big-endian):
 
     [0:4]    magic b"QVZ2"
-    [4]      format version (2)
+    [4]      format version (3)
     [5]      cluster count
     [6]      symbol order: 0 = line-major (reference order),
              1 = column-major (default — all cluster ids, then column 0
@@ -31,6 +31,10 @@ Layout (all integers big-endian):
     then per shard:
         lines    u64
         payload  u64 length
+        xxh64    u64 checksum of the payload bytes (seed 0) — integrity
+                 extension the reference lacks entirely (a flipped
+                 payload byte silently mis-decodes there); verified
+                 before decoding each shard
         128-byte WELL-1024a start state (jump-ahead of the file state)
     then the concatenated shard payloads.
 
@@ -46,11 +50,11 @@ import struct
 from dataclasses import dataclass
 
 MAGIC = b"QVZ2"
-VERSION = 2
+VERSION = 3  # v3 added per-shard xxh64 payload checksums
 ORDER_LINE = 0   # reference symbol order: line-major
 ORDER_COL = 1    # column-major: per-column model locality (default)
 _HEAD = struct.Struct(">4sBBBIQI")
-_SHARD = struct.Struct(">QQ")
+_SHARD = struct.Struct(">QQQ")
 
 
 @dataclass
@@ -59,6 +63,7 @@ class ShardInfo:
     payload_off: int  # absolute offset into the container
     payload_len: int
     well_state: bytes  # 128 raw bytes, n=0 semantics
+    checksum: int = 0  # xxh64(payload, seed=0)
 
 
 @dataclass
@@ -83,7 +88,10 @@ def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
 
     shard_lines: lines per shard; shard_states: 128-byte WELL start
     state per shard; payloads: arithmetic payload bytes per shard.
+    Per-shard xxh64 payload checksums are computed here.
     """
+    from qvz_tpu.native import runtime as _rt
+
     n_shards = len(payloads)
     assert len(shard_lines) == n_shards and len(shard_states) == n_shards
     out = bytearray()
@@ -95,7 +103,7 @@ def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
     out += file_state
     for nl, st, pay in zip(shard_lines, shard_states, payloads):
         assert len(st) == 128
-        out += _SHARD.pack(nl, len(pay))
+        out += _SHARD.pack(nl, len(pay), _rt.xxh64(bytes(pay)))
         out += st
     for pay in payloads:
         out += pay
@@ -134,13 +142,13 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     pos += 128
     metas = []
     for _ in range(n_shards):
-        nl, plen = _SHARD.unpack(data[pos:pos + _SHARD.size])
+        nl, plen, ck = _SHARD.unpack(data[pos:pos + _SHARD.size])
         pos += _SHARD.size
         st = data[pos:pos + 128]
         pos += 128
-        metas.append((nl, plen, st))
-    for nl, plen, st in metas:
-        head.shards.append(ShardInfo(nl, pos, plen, st))
+        metas.append((nl, plen, st, ck))
+    for nl, plen, st, ck in metas:
+        head.shards.append(ShardInfo(nl, pos, plen, st, ck))
         pos += plen
     if pos > len(data):
         raise ValueError("truncated QVZ2 container (short payload)")

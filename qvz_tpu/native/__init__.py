@@ -72,6 +72,9 @@ def load() -> ctypes.CDLL:
     lib.qvz_well_draws7.argtypes = [u32p, c.c_uint64, u8p]
     lib.qvz_well_draws7.restype = None
 
+    lib.qvz_xxh64.argtypes = [u8p, c.c_uint64, c.c_uint64]
+    lib.qvz_xxh64.restype = c.c_uint64
+
     lib.qvz_design_create.argtypes = [
         u64p, u64p, c.c_uint32, c.c_uint32, c.c_int32, c.c_double, dp]
     lib.qvz_design_create.restype = c.c_void_p

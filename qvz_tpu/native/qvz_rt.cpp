@@ -958,6 +958,86 @@ void qvz_well_draws7(const uint32_t* state, uint64_t n_draws, uint8_t* out) {
   }
 }
 
+// --- integrity hash -------------------------------------------------------
+
+// XXH64 (Yann Collet's public-domain spec). Used for the QVZ2 container's
+// per-shard payload checksums — a framework extension; the reference has
+// no integrity checking anywhere (src/os_stream.c writes raw bytes), so a
+// flipped payload byte silently mis-decodes there. Not cryptographic;
+// corruption detection only.
+static inline uint64_t xxh_rotl64(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+
+uint64_t qvz_xxh64(const uint8_t* p, uint64_t len, uint64_t seed) {
+  static const uint64_t P1 = 0x9E3779B185EBCA87ULL;
+  static const uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+  static const uint64_t P3 = 0x165667B19E3779F9ULL;
+  static const uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+  static const uint64_t P5 = 0x27D4EB2F165667C5ULL;
+  const uint8_t* end = p + len;
+  uint64_t h;
+  auto read64 = [](const uint8_t* q) {
+    uint64_t v;
+    std::memcpy(&v, q, 8);
+    return v;  // little-endian hosts only (x86/arm LE)
+  };
+  auto read32 = [](const uint8_t* q) {
+    uint32_t v;
+    std::memcpy(&v, q, 4);
+    return static_cast<uint64_t>(v);
+  };
+  auto round = [](uint64_t acc, uint64_t input) {
+    acc += input * P2;
+    acc = xxh_rotl64(acc, 31);
+    return acc * P1;
+  };
+  if (len >= 32) {
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = round(v1, read64(p));
+      v2 = round(v2, read64(p + 8));
+      v3 = round(v3, read64(p + 16));
+      v4 = round(v4, read64(p + 24));
+      p += 32;
+    } while (p <= limit);
+    h = xxh_rotl64(v1, 1) + xxh_rotl64(v2, 7) + xxh_rotl64(v3, 12) +
+        xxh_rotl64(v4, 18);
+    auto merge = [&](uint64_t acc, uint64_t val) {
+      acc ^= round(0, val);
+      return acc * P1 + P4;
+    };
+    h = merge(h, v1);
+    h = merge(h, v2);
+    h = merge(h, v3);
+    h = merge(h, v4);
+  } else {
+    h = seed + P5;
+  }
+  h += len;
+  while (p + 8 <= end) {
+    h ^= round(0, read64(p));
+    h = xxh_rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= read32(p) * P1;
+    h = xxh_rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p++) * P5;
+    h = xxh_rotl64(h, 11) * P1;
+  }
+  h ^= h >> 33;
+  h *= P2;
+  h ^= h >> 29;
+  h *= P3;
+  h ^= h >> 32;
+  return h;
+}
+
 // --- codebook design ----------------------------------------------------
 
 // Opaque design handle: designed books for all clusters + serialization.

@@ -28,6 +28,13 @@ def well_draws7(state_words, n_draws: int) -> np.ndarray:
     return out
 
 
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of a byte string (QVZ2 per-shard payload checksums)."""
+    lib = native.load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.qvz_xxh64(_ptr(buf, _u8p), len(data), seed))
+
+
 def well_jump(state_words, n_chunks: int, words_per_chunk: int
               ) -> np.ndarray:
     """GF(2) jump-ahead start states (n=0 semantics) for n_chunks

@@ -56,6 +56,9 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
         s = head.shards[i]
         well = np.frombuffer(s.well_state, dtype="<u4")
         payload = compressed[s.payload_off:s.payload_off + s.payload_len]
+        if rt.xxh64(payload) != s.checksum:
+            raise ValueError(
+                f"shard {i} payload checksum mismatch (corrupt container)")
         dec_fn(tables, payload, s.lines, well,
                out=out[offs[i]:offs[i + 1]].reshape(-1))
 

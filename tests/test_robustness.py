@@ -77,6 +77,34 @@ def test_flipped_codebook_bytes_detected(containers):
     assert crashes >= 1
 
 
+def test_v2_payload_corruption_detected(containers):
+    """QVZ2 integrity extension: flipping ANY payload byte must produce a
+    clean checksum error (the reference silently mis-decodes; VERDICT r1
+    weak item 6)."""
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    _, v2 = containers
+    head = container_v2.parse(v2, blocks_len=None)
+    tables = rt.tables_from_blocks(
+        v2[container_v2.header_size():], head.cluster_count, head.columns)
+    head = container_v2.parse(v2, blocks_len=tables.consumed)
+    rng = np.random.default_rng(3)
+    for s in head.shards:
+        for _ in range(4):
+            bad = bytearray(v2)
+            pos = s.payload_off + int(rng.integers(0, s.payload_len))
+            bad[pos] ^= 1 << int(rng.integers(0, 8))
+            with pytest.raises(ValueError, match="checksum"):
+                dec_mod.decode(bytes(bad))
+
+
+def test_v1_huge_line_count_warns():
+    from qvz_tpu.format import container as c1
+    with pytest.warns(RuntimeWarning, match="uint32"):
+        c1.write_header(1, 100, 2**32 + 5)
+
+
 def test_empty_and_tiny_inputs():
     with pytest.raises((ValueError, IndexError)):
         dec_mod.decode(b"")
