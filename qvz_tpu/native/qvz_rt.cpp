@@ -1558,6 +1558,46 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
   return n;
 }
 
+// Column-major entropy coding from PRECOMPUTED per-symbol (model id,
+// symbol index) streams — the back half of the device-quantization
+// production path: the accelerator runs the batched quantize+dither scan
+// (ops/quantize.py; reference semantics qv_compressor.c:86-118) and the
+// host coder only advances the adaptive arithmetic stream. Emits a
+// payload byte-identical to qvz_encode_fused_colmajor for the same
+// decisions (same model/symbol sequence => same bits).
+int64_t qvz_encode_precomputed_colmajor(void* tables,
+                                        const uint32_t* model_t,  // (cols,n)
+                                        const uint8_t* qs_t,      // (cols,n)
+                                        const uint8_t* cluster_ids,
+                                        uint64_t n_lines, uint8_t* out,
+                                        int64_t cap) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  BitWriter bw(out, cap);
+  Encoder enc(&bw);
+
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    bank.update(0, c);
+  }
+  for (uint32_t col = 0; col < columns; ++col) {
+    const uint32_t* mcol = model_t + static_cast<size_t>(col) * n_lines;
+    const uint8_t* xcol = qs_t + static_cast<size_t>(col) * n_lines;
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      uint32_t m = mcol[i];
+      uint32_t x = xcol[i];
+      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      bank.update(m, x);
+    }
+  }
+  int64_t n = enc.finish();
+  if (bw.overflow) return -n;
+  return n;
+}
+
 // Column-major decode matching qvz_encode_fused_colmajor. Writes
 // Phred+33 text lines with newlines into out ((columns+1) per line).
 int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,

@@ -304,6 +304,30 @@ def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
         cap = -r + 4096
 
 
+def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
+                                qs_t: np.ndarray, cluster_ids,
+                                n_lines: int) -> bytes:
+    """Entropy-code a shard from device-precomputed (model id, symbol)
+    streams in column-major order. Byte-identical to
+    encode_fused_colmajor for the same quantization decisions."""
+    lib = native.load()
+    model_t = np.ascontiguousarray(model_t, dtype=np.uint32)
+    qs_t = np.ascontiguousarray(qs_t, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    cols = tables.columns
+    cap = n_lines * cols + (n_lines * cols) // 2 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.qvz_encode_precomputed_colmajor(
+            tables._h, _ptr(model_t, _u32p), _ptr(qs_t, _u8p),
+            _ptr(cl, _u8p) if cl is not None else None,
+            n_lines, _ptr(out, _u8p), cap)
+        if r >= 0:
+            return out[:r].tobytes()
+        cap = -r + 4096
+
+
 def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
                     well_state_words, out: np.ndarray | None = None
                     ) -> np.ndarray:

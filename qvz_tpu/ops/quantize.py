@@ -50,9 +50,10 @@ def _quantize_device(data_t, draws_t, cluster_base, columns,
     return model_ids, qs, qv
 
 
-def quantize(tables, data: np.ndarray, cluster_ids, draws,
-             want_recon: bool = True):
-    """Device quantization; API-compatible with native.runtime.quantize."""
+def quantize_t(tables, data: np.ndarray, cluster_ids, draws):
+    """Device quantization returning COLUMN-MAJOR (cols, N) numpy arrays
+    (model_t uint32, qs_t uint8, qv_t uint8) — the layout the QVZ2
+    shard coders consume, so no host-side re-transpose is needed."""
     n, cols = data.shape
     if cluster_ids is None:
         cluster_base = jnp.zeros(n, dtype=jnp.int32)
@@ -70,8 +71,16 @@ def quantize(tables, data: np.ndarray, cluster_ids, draws,
     model_ids, qs, qv = _quantize_device(
         data_t, draws_t, cluster_base, cols, ctxmap, pair_base, qratio,
         qv_flat, qs_flat)
+    return (np.asarray(model_ids, dtype=np.uint32),
+            np.asarray(qs, dtype=np.uint8),
+            np.asarray(qv, dtype=np.uint8))
 
-    model_ids = np.asarray(model_ids, dtype=np.uint32).T.copy()
-    syms = np.asarray(qs, dtype=np.uint8).T.copy()
-    recon = np.asarray(qv, dtype=np.uint8).T.copy() if want_recon else None
+
+def quantize(tables, data: np.ndarray, cluster_ids, draws,
+             want_recon: bool = True):
+    """Device quantization; API-compatible with native.runtime.quantize."""
+    model_t, qs_t, qv_t = quantize_t(tables, data, cluster_ids, draws)
+    model_ids = model_t.T.copy()
+    syms = qs_t.T.copy()
+    recon = qv_t.T.copy() if want_recon else None
     return model_ids, syms, recon

@@ -127,6 +127,37 @@ def make_sharded_quantize(mesh, columns: int):
     return jax.jit(fn)
 
 
+def quantize_sharded_t(mesh, tables, data: np.ndarray, cluster_ids,
+                       draws: np.ndarray):
+    """Mesh data-parallel quantization returning column-major (cols, N)
+    numpy arrays (model_t u32, qs_t u8, qv_t u8); bit-identical to the
+    1-device ops.quantize path (pure integer gathers, no collectives)."""
+    import jax.numpy as jnp
+
+    n, cols = data.shape
+    n_dev = mesh.devices.size
+    dpad, _ = pad_reads(data, n_dev)
+    drpad, _ = pad_reads(draws, n_dev)
+    if cluster_ids is None:
+        cbase = np.zeros(dpad.shape[0], dtype=np.int32)
+    else:
+        cpad, _ = pad_reads(np.asarray(cluster_ids), n_dev)
+        cbase = cpad.astype(np.int32) * cols
+    fn = make_sharded_quantize(mesh, cols)
+    model_ids, qs, qv = fn(
+        jnp.asarray(dpad.T, dtype=jnp.int32),
+        jnp.asarray(drpad.T, dtype=jnp.int32),
+        jnp.asarray(cbase),
+        jnp.asarray(tables.ctxmap.reshape(-1), dtype=jnp.int32),
+        jnp.asarray(tables.pair_base, dtype=jnp.int32),
+        jnp.asarray(tables.qratio, dtype=jnp.int32),
+        jnp.asarray(tables.qv_map.reshape(-1), dtype=jnp.int32),
+        jnp.asarray(tables.qs_map.reshape(-1), dtype=jnp.int32))
+    return (np.asarray(model_ids, dtype=np.uint32)[:, :n],
+            np.asarray(qs, dtype=np.uint8)[:, :n],
+            np.asarray(qv, dtype=np.uint8)[:, :n])
+
+
 def pad_reads(arr: np.ndarray, n_shards: int, axis: int = 0):
     """Pad the reads axis to a shard multiple; returns (padded, valid)."""
     n = arr.shape[axis]

@@ -130,3 +130,37 @@ def test_mesh_encode_container_identical_to_host(mesh8):
     from qvz_tpu.pipeline import decode as dec_mod
     assert np.array_equal(dec_mod.decode(host.compressed),
                           dec_mod.decode(sharded_out.compressed))
+
+
+def test_device_quantize_production_path_byte_equal(mesh8):
+    """The device-quantization production path (accelerator quantize scan
+    + host entropy coding from precomputed streams) must emit containers
+    byte-identical to the host fused path, for both the plain-JAX and
+    the mesh variants, across cluster counts."""
+    import numpy as np
+    from qvz_tpu.constants import DISTORTION_MSE
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.pipeline import decode as dec_mod
+    from qvz_tpu.pipeline import encode as enc_mod
+
+    rng = np.random.default_rng(21)
+    start = rng.integers(20, 45, size=(3000, 1))
+    steps = rng.integers(-3, 4, size=(3000, 31))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    for n_clusters in (1, 3):
+        kw = dict(n_clusters=n_clusters, ratio=0.5, want_recon=True,
+                  well_state=WellState.debug(), shards=4)
+        host = enc_mod.encode(data, dist, use_jax=False, **kw)
+        dev = enc_mod.encode(data, dist, use_jax=True, **kw)
+        meshy = enc_mod.encode(data, dist, mesh=mesh8, **kw)
+        assert host.compressed == dev.compressed
+        assert host.compressed == meshy.compressed
+        assert np.array_equal(host.reconstructed, dev.reconstructed)
+        assert "quantize" in dev.stats.device_seconds
+        assert abs(host.stats.distortion - dev.stats.distortion) < 1e-9
+        out = dec_mod.decode(dev.compressed)
+        assert np.array_equal(out[:, :data.shape[1]],
+                              host.reconstructed + 33)
