@@ -58,6 +58,8 @@ def usage(name: str) -> None:
     print("                  a jax.profiler trace) to directory D")
     print("   --shards N   : Encode a sharded QVZ2 container with N parallel streams")
     print("                  (0 = one per CPU; default 1 = reference-compatible v1)")
+    print("   --hosts N    : Encode across N worker processes (multi-host driver;")
+    print("                  container is byte-identical to --hosts 1)")
 
 
 def _make_well(opts) -> WellState:
@@ -81,6 +83,7 @@ def main(argv=None) -> int:
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
         "debug_seed": False, "well_state_file": None, "use_jax": "auto",
         "shards": 1, "profile_dir": None, "reuse_books": None,
+        "hosts": 1,
     }
     i = 1
     try:
@@ -168,6 +171,9 @@ def _parse_and_dispatch(argv, name, opts, i) -> int:
         elif a == "--shards":
             opts["shards"] = int(argv[i + 1])
             i += 2
+        elif a == "--hosts":
+            opts["hosts"] = int(argv[i + 1])
+            i += 2
         elif a == "-h":
             usage(name)
             return 0
@@ -218,6 +224,34 @@ def _run(opts, extract, input_name, output_name) -> int:
 
     t0 = time.perf_counter()
     dist = make_matrix(opts["distortion"], path=opts["dist_file"])
+
+    if opts.get("hosts", 1) > 1:
+        # Multi-host driver: N worker processes over contiguous read
+        # ranges, container byte-identical to the 1-process encode.
+        if opts.get("reuse_books") or opts.get("uncompressed"):
+            raise ValueError(
+                "--hosts does not support --reuse-books or -u")
+        from qvz_tpu.parallel.multihost import encode_multihost
+        compressed, mh = encode_multihost(
+            input_name, n_hosts=opts["hosts"],
+            shards=opts["shards"] if opts["shards"] != 1 else 0,
+            n_clusters=opts["clusters"], mode=opts["mode"],
+            ratio=opts["ratio"],
+            cluster_threshold=opts["cluster_threshold"],
+            well_state=_make_well(opts), dist_matrix=dist,
+            use_jax=opts["use_jax"] is True)
+        with open(output_name, "wb") as f:
+            f.write(compressed)
+        elapsed = time.perf_counter() - t0
+        if opts["verbose"]:
+            print(f"Multi-host encode: {mh['hosts']} hosts, "
+                  f"{mh['shards']} shards, {mh['lines']} lines.")
+        if opts["stats"]:
+            print(f"rate, {mh['rate']:.4f}, distortion, "
+                  f"{mh['distortion']:.4f}, time, {elapsed:.4f}, size, "
+                  f"{mh['payload_bytes']} ")
+        return 0
+
     data = load_quality_file(input_name)
     reuse_blocks = None
     if opts.get("reuse_books"):
@@ -259,6 +293,7 @@ def _run(opts, extract, input_name, output_name) -> int:
             "payload_bytes": out.stats.payload_bytes,
             "total_seconds": elapsed,
             "phase_seconds": out.stats.phase_seconds,
+            "device_seconds": out.stats.device_seconds,
             "throughput_MBps": out.stats.lines
             * (out.stats.columns + 1) / max(elapsed, 1e-9) / 1e6,
         }, indent=2))

@@ -213,6 +213,27 @@ def kmeans_host(data: np.ndarray, n_clusters: int, threshold: float,
     return assign, means.astype(np.uint8), iters
 
 
+def kmeans_iter(data: np.ndarray, means: np.ndarray):
+    """One threaded Lloyd iteration over a (local) row range: returns
+    (assign u8, sums i64 (k, cols), counts i64 (k,)). The caller owns
+    the convergence loop and the integer merge across hosts — partial
+    sums are exact integers, so any merge order is bit-identical
+    (cluster.c:80-171 semantics)."""
+    lib = native.load()
+    n, cols = data.shape
+    k = means.shape[0]
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    means = np.ascontiguousarray(means, dtype=np.int64)
+    assign = np.empty(n, dtype=np.uint8)
+    sums = np.empty((k, cols), dtype=np.int64)
+    counts = np.empty(k, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.qvz_kmeans_iter(_ptr(data, _u8p), n, cols, _ptr(means, i64p), k,
+                        _ptr(assign, _u8p), _ptr(sums, i64p),
+                        _ptr(counts, i64p))
+    return assign, sums, counts
+
+
 def stats_host(data: np.ndarray, clusters: np.ndarray | None,
                n_clusters: int):
     """Single-pass C++ conditional histogram (codebook.c:185-203).

@@ -1,0 +1,321 @@
+"""Multi-host driver: N processes, contiguous read ranges, one container.
+
+The reference is one process, one thread (SURVEY §2b: no distributed
+anything; the loop being distributed is src/qv_compressor.c:48-143).
+This driver scales the QVZ2 pipeline across HOSTS — each host owns a
+contiguous range of reads (whole shards), computes local integer
+statistics, and codes its shards independently; the coordinator merges
+statistics, designs codebooks once, broadcasts the serialized blocks,
+and concatenates the shard directory in read order. Because every
+cross-host reduction is an exact integer sum and every shard payload
+depends only on (blocks, shard WELL start state, shard rows), the
+container is byte-identical to the single-process QVZ2 encode for any
+host count.
+
+Deployment shapes:
+
+  * This module (portable): one worker PROCESS per host via
+    multiprocessing (spawn — workers never import JAX), pipes for the
+    tiny control-plane messages (centroids, count tensors, codebook
+    blocks, payloads). It is the real driver for a multi-machine run
+    launched under any process manager when each rank can read its
+    slice of the input (shared FS / object store) — on TPU pods, run
+    one rank per host with `jax.distributed.initialize()` and let each
+    rank's local mesh accelerate its stats/quantize passes
+    (`use_jax=True` per worker), exactly as `encode(mesh=...)` does in
+    one process.
+  * The collectives here (sum of count tensors, k-means accumulator
+    merge) are deliberately the same integer reductions
+    `parallel/sharded.py` runs as `psum` over an ICI mesh; DCN-scale
+    runs move them to `jax.distributed` + psum over the global mesh
+    without changing any downstream byte.
+
+Phases (mirroring pipeline/encode.py):
+  1. plan: shard plan + per-shard GF(2) WELL jump states (coordinator)
+  2. k-means (optional): per-iteration local assignment + integer
+     accumulators on each host, merged by the coordinator
+     (cluster.c:212-243 semantics, bit-exact)
+  3. statistics: local conditional histograms, integer-summed
+  4. design: coordinator designs codebooks from the global counts
+     (exact doubles, once), broadcasts serialized blocks
+  5. coding: each host entropy-codes its shards (threads inside the
+     host), ships payloads
+  6. assembly: coordinator builds the QVZ2 container in read order
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from qvz_tpu.constants import MODE_RATIO
+
+# ---------------------------------------------------------------------------
+# Worker process: owns rows [lo, hi) of the quality file.
+#
+# Workers are launched as fresh interpreters (subprocess + a
+# multiprocessing.connection socket), NOT multiprocessing.Process: the
+# spawn start method re-imports the parent's __main__ (breaks under
+# pytest/stdin drivers), and fork after JAX/TPU initialization is
+# unsafe. A fresh interpreter per host also mirrors the real
+# multi-machine launch shape (one rank per host).
+
+
+def _worker_main(port: int, path: str, lo: int, hi: int, columns: int,
+                 use_jax: bool) -> None:
+    """Subprocess entry: connect back to the coordinator and serve."""
+    from multiprocessing.connection import Client
+
+    authkey = bytes.fromhex(os.environ["QVZ_MH_AUTHKEY"])
+    conn = Client(("127.0.0.1", port), authkey=authkey)
+    _host_worker(conn, path, lo, hi, columns, use_jax)
+
+
+def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
+                 use_jax: bool) -> None:
+    """One host. Loads only its row range; serves phase requests."""
+    # Workers import numpy + the native runtime only (never JAX unless
+    # asked): keeps spawn cost low and the control plane simple.
+    import numpy as np
+
+    from qvz_tpu.native import runtime as rt
+
+    from qvz_tpu.constants import PHRED_OFFSET
+
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    rows = mm.reshape(-1, columns + 1)[lo:hi, :columns]
+    # Phred+33 text -> symbol indices (codebook.c:200: char - 33),
+    # identical uint8 wrap semantics to spec.pipeline.load_quality_file;
+    # local copy, host-resident.
+    data = np.ascontiguousarray(rows - PHRED_OFFSET)
+    assign = None
+
+    while True:
+        msg = conn.recv()
+        cmd = msg[0]
+        if cmd == "rows":
+            # centroid seeding: fetch specific global rows we own
+            idxs = msg[1]
+            conn.send(data[np.asarray(idxs) - lo].copy())
+        elif cmd == "kmeans_iter":
+            means = msg[1]
+            assign, sums, counts = rt.kmeans_iter(data, means)
+            conn.send((sums, counts))
+        elif cmd == "stats":
+            n_clusters = msg[1]
+            cl = assign if n_clusters > 1 else None
+            if use_jax:
+                from qvz_tpu.ops import stats as jx_stats
+                c0, cond = jx_stats.conditional_counts(
+                    data, cl if cl is not None
+                    else np.zeros(len(data), dtype=np.uint8), n_clusters)
+                c0, cond = np.asarray(c0), np.asarray(cond)
+            else:
+                c0, cond = rt.stats_host(data, cl, n_clusters)
+            conn.send((c0, cond))
+        elif cmd == "encode":
+            blocks, n_clusters, states, counts, dist = msg[1:]
+            from concurrent.futures import ThreadPoolExecutor
+
+            tables = rt.tables_from_blocks(blocks, n_clusters, columns)
+            offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+            def run(s):
+                a, b = offs[s], offs[s + 1]
+                return rt.encode_fused_colmajor(
+                    tables, np.ascontiguousarray(data[a:b].T),
+                    assign[a:b] if assign is not None else None,
+                    states[s], dist=dist, want_recon=False)
+
+            with ThreadPoolExecutor(
+                    max_workers=min(len(counts),
+                                    os.cpu_count() or 1)) as ex:
+                results = list(ex.map(run, range(len(counts))))
+            conn.send(([r[0] for r in results],
+                       float(sum(r[2] for r in results))))
+        elif cmd == "quit":
+            conn.send(("bye",))
+            return
+
+
+# ---------------------------------------------------------------------------
+# Coordinator.
+
+
+def _shard_plan(n: int, columns: int, shards: int):
+    from qvz_tpu.pipeline.encode import _shard_plan as plan
+    return plan(n, columns, shards)
+
+
+def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
+                     n_clusters: int = 1, mode: int = MODE_RATIO,
+                     ratio: float = 0.5, cluster_threshold: float = 4.0,
+                     well_state=None, dist_matrix=None,
+                     use_jax: bool = False):
+    """Encode a quality file across n_hosts worker processes.
+
+    Returns (container bytes, stats dict). The container is
+    byte-identical to `pipeline.encode.encode(data, ..., shards=S)` for
+    the same total shard count S — proven by tests/test_multihost.py.
+    """
+    from qvz_tpu.constants import MAX_KMEANS_ITERATIONS
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.utils.glibc_rand import GlibcRand
+
+    if well_state is None:
+        well_state = WellState.debug()
+    if dist_matrix is None:
+        from qvz_tpu.constants import DISTORTION_MSE
+        from qvz_tpu.ops.distortion import make_matrix
+        dist_matrix = make_matrix(DISTORTION_MSE)
+
+    # geometry from the file (lines.c:44-54 semantics)
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        first = f.readline()
+    columns = len(first) - 1
+    n = size // (columns + 1)
+
+    if shards == 0:
+        shards = max(n_hosts, (os.cpu_count() or 1))
+    counts = _shard_plan(n, columns, shards)
+    S = len(counts)
+    n_hosts = max(1, min(n_hosts, S))
+
+    # contiguous shard ranges per host
+    host_shards = [(h * S // n_hosts, (h + 1) * S // n_hosts)
+                   for h in range(n_hosts)]
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    t0 = time.perf_counter()
+
+    # per-shard WELL start states (single logical dither stream)
+    order = [(well_state.n + i) & 31 for i in range(32)]
+    state_words = np.asarray(well_state.state, dtype=np.uint32)[order]
+    wpc = counts[0] * columns // 4
+    states = rt.well_jump(state_words, S, wpc)
+
+    from multiprocessing.connection import Listener
+
+    authkey = os.urandom(16)
+    listener = Listener(("127.0.0.1", 0), authkey=authkey)
+    port = listener.address[1]
+    env = dict(os.environ)
+    env["QVZ_MH_AUTHKEY"] = authkey.hex()
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    conns, procs = [], []
+    for h, (s0, s1) in enumerate(host_shards):
+        code = ("from qvz_tpu.parallel.multihost import _worker_main; "
+                f"_worker_main({port}, {path!r}, {int(offs[s0])}, "
+                f"{int(offs[s1])}, {columns}, {bool(use_jax)})")
+        p = subprocess.Popen([sys.executable, "-c", code], env=env)
+        conns.append(listener.accept())  # accept right after launch:
+        procs.append(p)                  # conn h <-> host h
+    stats = {"hosts": n_hosts, "shards": S, "lines": n, "columns": columns}
+
+    try:
+        # --- k-means (coordinator-merged integer accumulators) ----------
+        if n_clusters > 1:
+            # centroid seeds: exact reference draws (cluster.c:192-206)
+            rand = GlibcRand(1)
+            from qvz_tpu.constants import MAX_LINES_PER_BLOCK
+            block_count = -(-n // MAX_LINES_PER_BLOCK)
+            seed_idx = []
+            for _ in range(n_clusters):
+                block_id = rand.rand() % block_count
+                cnt = min(MAX_LINES_PER_BLOCK,
+                          n - block_id * MAX_LINES_PER_BLOCK)
+                line_id = rand.rand() % cnt
+                seed_idx.append(block_id * MAX_LINES_PER_BLOCK + line_id)
+            means = np.empty((n_clusters, columns), dtype=np.int64)
+            for j, gidx in enumerate(seed_idx):
+                h = next(i for i, (s0, s1) in enumerate(host_shards)
+                         if offs[s0] <= gidx < offs[s1])
+                conns[h].send(("rows", [gidx]))
+                means[j] = conns[h].recv()[0]
+            iters = 0
+            while iters < MAX_KMEANS_ITERATIONS:
+                for c in conns:
+                    c.send(("kmeans_iter", means))
+                sums = np.zeros((n_clusters, columns), dtype=np.int64)
+                cnts = np.zeros(n_clusters, dtype=np.int64)
+                for c in conns:
+                    s_, c_ = c.recv()
+                    sums += s_
+                    cnts += c_
+                iters += 1
+                new_means = sums // np.maximum(cnts, 1)[:, None]
+                diff = (new_means - means).astype(np.float64)
+                moved = float((diff * diff).sum(axis=1).max())
+                means = new_means
+                if moved <= cluster_threshold:
+                    break
+            stats["kmeans_iters"] = iters
+        t1 = time.perf_counter()
+        stats["cluster_s"] = t1 - t0
+
+        # --- statistics (integer-summed across hosts) -------------------
+        for c in conns:
+            c.send(("stats", n_clusters))
+        c0_sum = cond_sum = None
+        for c in conns:
+            c0, cond = c.recv()
+            if c0_sum is None:
+                c0_sum, cond_sum = c0.copy(), cond.copy()
+            else:
+                c0_sum += c0
+                cond_sum += cond
+        t2 = time.perf_counter()
+        stats["stats_s"] = t2 - t1
+
+        # --- design (once, on the coordinator) --------------------------
+        design = rt.Design(np.asarray(c0_sum), np.asarray(cond_sum),
+                           mode, ratio, dist_matrix)
+        blocks = design.serialized()
+        t3 = time.perf_counter()
+        stats["design_s"] = t3 - t2
+
+        # --- coding (each host codes its shards) ------------------------
+        dist_total = 0.0
+        payload_lists = [None] * n_hosts
+        for h, (s0, s1) in enumerate(host_shards):
+            conns[h].send(("encode", blocks, n_clusters,
+                           states[s0:s1], counts[s0:s1], dist_matrix))
+        for h, c in enumerate(conns):
+            payloads, dsum = c.recv()
+            payload_lists[h] = payloads
+            dist_total += dsum
+        t4 = time.perf_counter()
+        stats["code_s"] = t4 - t3
+
+        all_payloads = [p for lst in payload_lists for p in lst]
+        shard_states = [np.asarray(states[s], dtype="<u4").tobytes()
+                        for s in range(S)]
+        compressed = container_v2.build(blocks, n_clusters, columns, n,
+                                        counts, shard_states, all_payloads)
+        payload_bytes = sum(len(p) for p in all_payloads)
+        stats["payload_bytes"] = payload_bytes
+        stats["rate"] = payload_bytes * 8.0 / (float(n) * columns)
+        stats["distortion"] = dist_total / n
+        stats["total_s"] = time.perf_counter() - t0
+        return compressed, stats
+    finally:
+        for c in conns:
+            try:
+                c.send(("quit",))
+                c.recv()
+            except Exception:
+                pass
+        listener.close()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()

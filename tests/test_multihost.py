@@ -1,0 +1,64 @@
+"""Multi-host driver determinism: N worker processes must produce a
+container byte-equal to the single-process QVZ2 encode (VERDICT r1 next
+item 2; SURVEY §2b item 3 — the distributed replacement for the
+single-process loop qv_compressor.c:48-143)."""
+
+import numpy as np
+import pytest
+
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.parallel.multihost import encode_multihost
+from qvz_tpu.pipeline import decode as dec_mod
+from qvz_tpu.pipeline import encode as enc_mod
+
+
+@pytest.fixture(scope="module")
+def qfile(tmp_path_factory):
+    rng = np.random.default_rng(31)
+    n, cols = 6000, 48
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = data + 33
+    out[:, cols] = 10
+    path = tmp_path_factory.mktemp("mh") / "mh.in"
+    path.write_bytes(out.tobytes())
+    return str(path), data
+
+
+@pytest.mark.parametrize("n_clusters", [1, 3])
+@pytest.mark.parametrize("n_hosts", [2, 4])
+def test_multihost_byte_equal(qfile, n_hosts, n_clusters):
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    shards = 6
+
+    single = enc_mod.encode(data, dist, n_clusters=n_clusters, ratio=0.5,
+                            well_state=WellState.debug(), use_jax=False,
+                            shards=shards, want_recon=False)
+    multi, stats = encode_multihost(
+        path, n_hosts=n_hosts, shards=shards, n_clusters=n_clusters,
+        ratio=0.5, well_state=WellState.debug(), dist_matrix=dist)
+
+    assert multi == single.compressed, (
+        f"{n_hosts}-host container differs from single-process")
+    assert stats["hosts"] == n_hosts
+    assert abs(stats["rate"] - single.stats.rate) < 1e-12
+    assert abs(stats["distortion"] - single.stats.distortion) < 1e-9
+
+
+def test_multihost_decode_roundtrip(qfile):
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    multi, _ = encode_multihost(path, n_hosts=3, shards=5, n_clusters=2,
+                                ratio=0.5, well_state=WellState.debug(),
+                                dist_matrix=dist)
+    ref = enc_mod.encode(data, dist, n_clusters=2, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=5, want_recon=True)
+    out = dec_mod.decode(multi)
+    assert np.array_equal(out[:, :data.shape[1]], ref.reconstructed + 33)
