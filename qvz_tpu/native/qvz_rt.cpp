@@ -26,6 +26,10 @@
 #include <functional>
 #include <mutex>
 #include <thread>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <unordered_map>
 #include <vector>
 #include <string>
@@ -139,6 +143,23 @@ struct BitWriter {
     if (++nbits == 64) flush64();
   }
 
+  // Append len bits of v (MSB-first), len <= 32.
+  inline void putk(uint32_t v, int len) {
+    int space = 64 - nbits;
+    if (len <= space) {
+      acc = (acc << len) | v;
+      nbits += len;
+      if (nbits == 64) flush64();
+    } else {
+      acc = (acc << space) | (v >> (len - space));
+      nbits = 64;
+      flush64();
+      int rest = len - space;
+      acc = v & ((1u << rest) - 1u);
+      nbits = rest;
+    }
+  }
+
   inline void put_bits(uint32_t dw, int len) {
     for (int b = len - 1; b >= 0; --b) put((dw >> b) & 1u);
   }
@@ -194,6 +215,26 @@ struct BitReader {
     return bit;
   }
 
+  // Next k bits MSB-first, 0 <= k <= 32 (at most one refill: k <= 56).
+  inline uint32_t getk(int k) {
+    uint32_t v;
+    if (navail >= k) {
+      // double shift keeps k == 0 well-defined (acc >> 64 is UB)
+      v = static_cast<uint32_t>((acc >> 1) >> (63 - k));
+      acc <<= k;
+      navail -= k;
+    } else {
+      int have = navail;
+      v = have ? static_cast<uint32_t>(acc >> (64 - have)) : 0u;
+      refill();
+      int need = k - have;
+      v = (v << need) | static_cast<uint32_t>(acc >> (64 - need));
+      acc <<= need;
+      navail -= need;
+    }
+    return v;
+  }
+
   uint32_t get_bits(int n) {
     uint32_t v = 0;
     for (int b = n - 1; b >= 0; --b) v |= get() << b;
@@ -204,32 +245,66 @@ struct BitReader {
 // ----------------------------------------------------- adaptive models
 
 // Flat model bank: counts for model m live at counts[off[m] .. off[m]+card).
+//
+// Besides the adaptive counts (qv_stream.c:9-61 semantics), the bank
+// caches a per-model "round-up" reciprocal magic[m] = ceil(2^64 /
+// total[m]). The coder's interval bounds floor(range*cum/total) are
+// then a 64x64 mulhi instead of a 64-bit divide: with e = magic*n -
+// 2^64 in (0, n], floor(a*magic / 2^64) == floor(a/n) exactly whenever
+// e*a < 2^64; here e <= n < 2^20 and a = range*cum < 2^42, so e*a <
+// 2^62 — exact for every reachable operand. The one real divide
+// (recomputing the magic) moves into update(), OFF the coder's
+// symbol-to-symbol critical path, where out-of-order execution hides
+// it. (A shared magic table keyed by n was tried in round 1 and was
+// SLOWER — the table lookup missed cache; per-model storage rides the
+// same cache lines as the model metadata.)
 struct ModelBank {
+  // Per-model header: offset into counts, cardinality, current total,
+  // and the reciprocal magic — one 32-byte record so a single cache
+  // line serves the whole per-symbol model lookup.
+  struct MInfo {
+    uint64_t off;
+    uint32_t card;
+    uint32_t total;
+    uint64_t magic;  // ceil(2^64/total); 0 iff total == 1
+    uint64_t pad;
+  };
   std::vector<uint32_t> counts;
-  std::vector<uint64_t> off;
-  std::vector<uint32_t> card;
-  std::vector<uint32_t> total;
+  std::vector<MInfo> info;
+
+  static inline uint64_t recip(uint32_t n) {
+    return n > 1 ? ~0ull / n + 1 : 0;  // ceil(2^64/n) for n >= 2
+  }
 
   void init(const uint32_t* cards, uint32_t n_models) {
-    off.resize(n_models);
-    card.assign(cards, cards + n_models);
-    total.resize(n_models);
+    info.resize(n_models);
     uint64_t o = 0;
     for (uint32_t m = 0; m < n_models; ++m) {
-      off[m] = o;
+      info[m].off = o;
+      info[m].card = cards[m];
       o += cards[m];
-      total[m] = cards[m];  // counts start at 1 each
+      info[m].total = cards[m];  // counts start at 1 each
+      info[m].magic = recip(cards[m]);
     }
     counts.assign(o, 1u);
   }
 
+  // Pull the next model's header + counts toward L1 while the current
+  // symbol's interval update is still in flight.
+  inline void prefetch(uint32_t m) const {
+    const MInfo& mi = info[m];
+    __builtin_prefetch(&mi);
+    __builtin_prefetch(counts.data() + mi.off);
+  }
+
   inline void update(uint32_t m, uint32_t x) {
-    uint32_t* c = counts.data() + off[m];
+    MInfo& mi = info[m];
+    uint32_t* c = counts.data() + mi.off;
     c[x] += kStep;
-    uint32_t n = total[m] + kStep;
+    uint32_t n = mi.total + kStep;
     if (n > kArithR) {
       n = 0;
-      uint32_t k = card[m];
+      uint32_t k = mi.card;
       for (uint32_t i = 0; i < k; ++i) {
         if (c[i]) {
           c[i] = (c[i] >> 1) + 1;
@@ -237,9 +312,17 @@ struct ModelBank {
         }
       }
     }
-    total[m] = n;
+    mi.total = n;
+    mi.magic = recip(n);
   }
 };
+
+// floor(a * magic / 2^64): exact floor(a/n) under the bank's invariant.
+static inline uint32_t mulh_div(uint64_t a, uint64_t magic) {
+  return static_cast<uint32_t>(
+      (static_cast<unsigned __int128>(a) * magic) >> 64);
+}
+
 
 // -------------------------------------------------- arithmetic coding
 
@@ -250,37 +333,56 @@ struct Encoder {
 
   explicit Encoder(BitWriter* w) : bw(w) {}
 
-  inline void step(const uint32_t* c, uint32_t n, uint32_t x) {
+  inline void step(const ModelBank& bank, uint32_t m, uint32_t x) {
+    const ModelBank::MInfo& mi = bank.info[m];
+    const uint32_t* c = bank.counts.data() + mi.off;
+    uint32_t n = mi.total;
+    uint64_t M = mi.magic;
     uint64_t range = static_cast<uint64_t>(u) - l + 1;
     uint32_t cum_lo = 0;
     for (uint32_t i = 0; i < x; ++i) cum_lo += c[i];
     uint32_t cum_hi = cum_lo + c[x];
     // Skewed adaptive models hit the edges constantly; (range*n)/n ==
-    // range and (range*0)/n == 0 exactly, so skip the 64-bit divisions.
+    // range and (range*0)/n == 0 exactly, so skip even the mulhi. The
+    // general case is an exact reciprocal multiply (see ModelBank).
     u = l + (cum_hi == n ? static_cast<uint32_t>(range)
-                         : static_cast<uint32_t>((range * cum_hi) / n)) - 1;
-    l = l + (cum_lo == 0 ? 0u
-                         : static_cast<uint32_t>((range * cum_lo) / n));
+                         : mulh_div(range * cum_hi, M)) - 1;
+    l = l + (cum_lo == 0 ? 0u : mulh_div(range * cum_lo, M));
 
-    for (;;) {
-      uint32_t msb_l = l >> kMsbShift;
-      uint32_t msb_u = u >> kMsbShift;
-      if (msb_l == msb_u) {
-        bw->put(msb_l);
-        l = (l & kMsbClear) << 1;
-        u = ((u & kMsbClear) << 1) + 1;
-        uint32_t comp = msb_l ^ 1u;
-        while (scale3 > 0) {
+    // Batched renormalization. The bit-at-a-time E1/E2/E3 loop
+    // (arith.c:52-96) telescopes: k consecutive E1/E2 steps emit the
+    // top k shared bits of l (scale3 complements after the first) and
+    // apply l<-(l<<k)&F, u<-((u<<k)|(2^k-1))&F; k consecutive E3 steps
+    // drop the second bit k times: scale3+=k, l<-(l<<k)&(F>>1),
+    // u<-((u<<k)&(F>>1))|MSB|(2^k-1). After an E3 run the MSBs differ
+    // and the second bits are out of the straddle, so the sequence is
+    // always E1* E3* — two batches, no loop. Bit-exact vs the
+    // reference (all goldens + live fuzz).
+    uint32_t diff = l ^ u;
+    if ((diff >> kMsbShift) == 0) {
+      int k1 = __builtin_clz(diff << (32 - kArithM));
+      uint32_t top = l >> (kArithM - k1);
+      uint32_t first = top >> (k1 - 1);
+      bw->put(first);
+      if (scale3 > 0) {
+        uint32_t comp = first ^ 1u;
+        do {
           bw->put(comp);
-          --scale3;
-        }
-      } else if ((l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02) {
-        ++scale3;
-        u = (((u << 1) & kMsbClear) | kMsbBit) + 1;
-        l = (l << 1) & kMsbClear;
-      } else {
-        break;
+        } while (--scale3 > 0);
       }
+      if (k1 > 1) bw->putk(top & ((1u << (k1 - 1)) - 1u), k1 - 1);
+      l = (l << k1) & kFull;
+      u = ((u << k1) | ((1u << k1) - 1u)) & kFull;
+    }
+    if ((l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02) {
+      uint32_t lx = l << (32 - kSmsbShift);       // l bits below the 01
+      uint32_t ux = u << (32 - kSmsbShift);       // u bits below the 10
+      int lrun = __builtin_clz(~lx | 1u);         // leading 1s of l
+      int zrun = ux ? __builtin_clz(ux) : 32;     // leading 0s of u
+      int k3 = 1 + (lrun < zrun ? lrun : zrun);
+      scale3 += k3;
+      l = (l << k3) & kMsbClear;
+      u = (((u << k3) & kMsbClear) | kMsbBit) | ((1u << k3) - 1u);
     }
   }
 
@@ -306,50 +408,85 @@ struct Decoder {
 
   bool bad = false;  // corrupt-stream flag (tag left [l, u])
 
-  inline uint32_t step(const uint32_t* c, uint32_t n) {
+  inline uint32_t step(const ModelBank& bank, uint32_t m) {
     if (t < l || t > u) { bad = true; return 0; }
+    const ModelBank::MInfo& mi = bank.info[m];
+    const uint32_t* c = bank.counts.data() + mi.off;
+    uint32_t n = mi.total;
+    uint64_t M = mi.magic;
     uint64_t range = static_cast<uint64_t>(u) - l + 1;
-    uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
-    uint32_t sub = static_cast<uint32_t>((tag_gap * n - 1) / range);
-    uint32_t k = 0, cum = 0;
-    while (sub >= cum) cum += c[k++];
-    uint32_t x = k - 1;
-    // The search loop exits with cum == sum(c[0..x]) — reuse it instead
-    // of a second prefix scan.
+    // Direct boundary search replacing the reference's tag-gap divide
+    // (arith.c:130-137): symbol x is the first k with t - l <
+    // floor(range*cum_{k+1}/n), which is EQUIVALENT to the reference's
+    // "first cum > sub" search — cum > floor((tag_gap*n-1)/range) iff
+    // cum*range >= tag_gap*n iff floor(cum*range/n) >= tag_gap iff
+    // t < l + floor(range*cum/n). The scanned bounds are then reused
+    // for the interval update, so the step runs with ZERO divides.
+    uint32_t tl = t - l;
+    // Scan on cum*range >= T, the reference's "cum > sub"
+    // (arith.c:130-137) with the tag-gap divide eliminated. (A
+    // branch-free 16-lane AVX2 search was tried and measured SLOWER on
+    // the bench profile: mean symbol index is 1.34, and the vector
+    // prefix-sum chain + mask extraction cost more than the short
+    // scalar scan with its mostly-predicted exit.)
+    uint64_t T = static_cast<uint64_t>(tl + 1) * n;
+    uint32_t k = 0;
+    uint32_t cum = c[0];
+    while (static_cast<uint64_t>(cum) * range < T) cum += c[++k];
+    uint32_t x = k;
     uint32_t cum_hi = cum;
-    uint32_t cum_lo = cum - c[x];
-    u = l + (cum_hi == n ? static_cast<uint32_t>(range)
-                         : static_cast<uint32_t>((range * cum_hi) / n)) - 1;
-    l = l + (cum_lo == 0 ? 0u
-                         : static_cast<uint32_t>((range * cum_lo) / n));
+    uint32_t cum_lo = cum_hi - c[x];
+    uint32_t hi_b = (cum_hi == n ? static_cast<uint32_t>(range)
+                                 : mulh_div(range * cum_hi, M));
+    uint32_t lo_b = (cum_lo == 0 ? 0u : mulh_div(range * cum_lo, M));
+    u = l + hi_b - 1;
+    l = l + lo_b;
 
-    for (;;) {
-      uint32_t msb_l = l >> kMsbShift;
-      uint32_t msb_u = u >> kMsbShift;
-      if (msb_l == msb_u) {
-        l = (l & kMsbClear) << 1;
-        u = ((u & kMsbClear) << 1) + 1;
-        t = ((t & kMsbClear) << 1) + br->get();
-      } else if ((l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02) {
-        l = (l << 1) & kMsbClear;
-        u = (((u << 1) & kMsbClear) | kMsbBit) + 1;
-        t = (((t & kMsbClear) << 1) ^ kMsbBit) + br->get();
-      } else {
-        break;
-      }
-    }
+    // Batched renormalization (see Encoder::step): E1* then E3*.
+    // t telescopes to ((t<<k)|streambits)&F for E1 runs, with a single
+    // final MSB flip for an E3 run of any length (the intermediate
+    // flips cancel as the flipped bit shifts out). Both batches run
+    // UNCONDITIONALLY with k=0 as a no-op — whether a symbol emits
+    // bits carries ~1 bit of entropy, so the guarding branches were
+    // intrinsically unpredictable; straight-line cmov code beats them.
+    uint32_t diff = l ^ u;
+    int k1 = (diff >> kMsbShift) == 0
+                 ? __builtin_clz(diff << (32 - kArithM)) : 0;
+    l = (l << k1) & kFull;
+    u = ((u << k1) | ((1u << k1) - 1u)) & kFull;
+    t = ((t << k1) | br->getk(k1)) & kFull;
+    bool e3 = (l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02;
+    uint32_t lx = l << (32 - kSmsbShift);
+    uint32_t ux = u << (32 - kSmsbShift);
+    int lrun = __builtin_clz(~lx | 1u);
+    int zrun = ux ? __builtin_clz(ux) : 32;
+    int k3 = e3 ? 1 + (lrun < zrun ? lrun : zrun) : 0;
+    uint32_t flip = e3 ? kMsbBit : 0u;
+    uint32_t msb_or = e3 ? kMsbBit : 0u;
+    uint32_t lmask = e3 ? kMsbClear : kFull;
+    l = (l << k3) & lmask;
+    u = (((u << k3) & lmask) | msb_or) | ((1u << k3) - 1u);
+    t = (((t << k3) | br->getk(k3)) & kFull) ^ flip;
     return x;
   }
 
   // Final-symbol drain without renormalization (arith.c:190-205).
-  inline uint32_t last(const uint32_t* c, uint32_t n) const {
+  inline uint32_t last(const ModelBank& bank, uint32_t m) const {
     if (t < l || t > u) return 0;
+    const ModelBank::MInfo& mi = bank.info[m];
+    const uint32_t* c = bank.counts.data() + mi.off;
+    uint32_t n = mi.total;
+    uint64_t M = mi.magic;
     uint64_t range = static_cast<uint64_t>(u) - l + 1;
-    uint64_t tag_gap = static_cast<uint64_t>(t) - l + 1;
-    uint64_t sub = (tag_gap * n - 1) / range;
-    uint32_t k = 0, cum = 0;
-    while (sub >= cum) cum += c[k++];
-    return k - 1;
+    uint32_t tl = t - l;
+    uint32_t k = 0;
+    uint32_t cum = c[0];
+    for (;;) {
+      uint32_t b = (cum == n ? static_cast<uint32_t>(range)
+                             : mulh_div(range * cum, M));
+      if (tl < b) return k;
+      cum += c[++k];
+    }
   }
 };
 
@@ -1153,7 +1290,7 @@ int64_t qvz_encode_payload(const uint32_t* model_ids, const uint8_t* syms,
   for (uint64_t i = 0; i < n_syms; ++i) {
     uint32_t m = model_ids[i];
     uint32_t x = syms[i];
-    enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+    enc.step(bank, m, x);
     bank.update(m, x);
   }
   int64_t n = enc.finish();
@@ -1174,14 +1311,14 @@ int64_t qvz_encode_lines(const uint8_t* cluster_ids, const uint32_t* model_ids,
   Encoder enc(&bw);
   for (uint64_t i = 0; i < n_lines; ++i) {
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    enc.step(bank, 0, c);
     bank.update(0, c);
     const uint32_t* mrow = model_ids + i * columns;
     const uint8_t* srow = syms + i * columns;
     for (uint32_t col = 0; col < columns; ++col) {
       uint32_t m = mrow[col];
       uint32_t x = srow[col];
-      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      enc.step(bank, m, x);
       bank.update(m, x);
     }
   }
@@ -1447,7 +1584,7 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
 
   for (uint64_t i = 0; i < n_lines; ++i) {
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    enc.step(bank, 0, c);
     bank.update(0, c);
     const uint8_t* row = data + i * columns;
     uint8_t* rrow = recon ? recon + i * columns : nullptr;
@@ -1463,7 +1600,7 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
       uint8_t qv = tb->qv_map[pc * A + d];
       uint32_t x = tb->qs_map[pc * A + d];
       uint32_t m = static_cast<uint32_t>(1 + pc);
-      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      enc.step(bank, m, x);
       bank.update(m, x);
       if (dist) line_d += dist[static_cast<uint32_t>(d) * A + qv];
       if (rrow) rrow[col] = qv;
@@ -1523,7 +1660,7 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
   // Cluster ids first (model 0 stays hot).
   for (uint64_t i = 0; i < n_lines; ++i) {
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    enc.step(bank, 0, c);
     bank.update(0, c);
   }
 
@@ -1545,7 +1682,7 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
       uint8_t qv = tb->qv_map[pc * A + d];
       uint32_t x = tb->qs_map[pc * A + d];
       uint32_t m = static_cast<uint32_t>(1 + pc);
-      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      enc.step(bank, m, x);
       bank.update(m, x);
       if (dist) total_d += dist[static_cast<uint32_t>(d) * A + qv];
       if (rcol) rcol[i] = qv;
@@ -1580,7 +1717,7 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
 
   for (uint64_t i = 0; i < n_lines; ++i) {
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    enc.step(bank.counts.data() + bank.off[0], bank.total[0], c);
+    enc.step(bank, 0, c);
     bank.update(0, c);
   }
   for (uint32_t col = 0; col < columns; ++col) {
@@ -1589,7 +1726,7 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
     for (uint64_t i = 0; i < n_lines; ++i) {
       uint32_t m = mcol[i];
       uint32_t x = xcol[i];
-      enc.step(bank.counts.data() + bank.off[m], bank.total[m], x);
+      enc.step(bank, m, x);
       bank.update(m, x);
     }
   }
@@ -1627,7 +1764,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
 
   std::vector<uint8_t> cl(n_lines, 0);
   for (uint64_t i = 0; i < n_lines; ++i) {
-    uint32_t c = dec.step(bank.counts.data() + bank.off[0], bank.total[0]);
+    uint32_t c = dec.step(bank, 0);
     bank.update(0, c);
     if (dec.bad) return -3;
     if (c >= tb->n_clusters) return -1;
@@ -1647,9 +1784,9 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
       uint32_t m = static_cast<uint32_t>(1 + p * 2 + choice);
       uint32_t x;
       if (last_col && i + 1 == n_lines) {
-        x = dec.last(bank.counts.data() + bank.off[m], bank.total[m]);
+        x = dec.last(bank, m);
       } else {
-        x = dec.step(bank.counts.data() + bank.off[m], bank.total[m]);
+        x = dec.step(bank, m);
         bank.update(m, x);
         if (dec.bad) return -3;
       }
@@ -1681,30 +1818,43 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
 
   for (uint64_t i = 0; i < n_lines; ++i) {
     bool last_line = (i + 1 == n_lines);
-    uint32_t c = dec.step(bank.counts.data() + bank.off[0], bank.total[0]);
+    uint32_t c = dec.step(bank, 0);
     bank.update(0, c);
     if (dec.bad) return -3;
     if (c >= tb->n_clusters) return -1;
     uint8_t* orow = out + i * (columns + 1);
-    uint32_t prev = 0;
     uint64_t cbase = static_cast<uint64_t>(c) * columns;
-    for (uint32_t col = 0; col < columns; ++col) {
-      int32_t ctx = tb->ctxmap[(cbase + col) * A + prev];
-      if (ctx < 0) return -2;
-      uint64_t p = tb->pair_base[cbase + col] + static_cast<uint32_t>(ctx);
-      uint32_t choice = well.draw7() >= tb->qratio[p] ? 1u : 0u;
-      uint32_t m = 1 + 2 * static_cast<uint32_t>(p) + choice;
-      uint32_t x;
-      if (last_line && col + 1 == columns) {
-        x = dec.last(bank.counts.data() + bank.off[m], bank.total[m]);
-      } else {
-        x = dec.step(bank.counts.data() + bank.off[m], bank.total[m]);
-        bank.update(m, x);
+    // Model id for column 0 (context is always 0 there).
+    {
+      int32_t ctx0 = tb->ctxmap[cbase * A];
+      if (ctx0 < 0) return -2;
+      uint64_t p0 = tb->pair_base[cbase] + static_cast<uint32_t>(ctx0);
+      uint32_t ch0 = well.draw7() >= tb->qratio[p0] ? 1u : 0u;
+      uint32_t m = 1 + 2 * static_cast<uint32_t>(p0) + ch0;
+      for (uint32_t col = 0; col < columns; ++col) {
+        uint32_t x;
+        bool final_sym = last_line && col + 1 == columns;
+        x = final_sym ? dec.last(bank, m) : dec.step(bank, m);
         if (dec.bad) return -3;
+        uint8_t qv = tb->model_syms[tb->model_off[m] + x];
+        orow[col] = static_cast<uint8_t>(qv + 33);
+        uint32_t m_next = 0;
+        if (col + 1 < columns) {
+          // Resolve the NEXT symbol's model from the freshly decoded
+          // context and pull its header+counts toward L1 while the
+          // current model update retires — the decode chain is serial,
+          // so this is free latency overlap.
+          uint64_t cc = cbase + col + 1;
+          int32_t ctx = tb->ctxmap[cc * A + qv];
+          if (ctx < 0) return -2;
+          uint64_t p = tb->pair_base[cc] + static_cast<uint32_t>(ctx);
+          uint32_t choice = well.draw7() >= tb->qratio[p] ? 1u : 0u;
+          m_next = 1 + 2 * static_cast<uint32_t>(p) + choice;
+          bank.prefetch(m_next);
+        }
+        if (!final_sym) bank.update(m, x);
+        m = m_next;
       }
-      uint8_t qv = tb->model_syms[tb->model_off[m] + x];
-      orow[col] = static_cast<uint8_t>(qv + 33);
-      prev = qv;
     }
     orow[columns] = '\n';
   }
