@@ -272,8 +272,16 @@ struct ModelBank {
   std::vector<uint32_t> counts;
   std::vector<MInfo> info;
 
+  // ceil(2^64/n) for n >= 2; 0 for n <= 1 (never consulted: the coder
+  // takes the cum==0/cum==n edge paths whenever total is 1).
+  // Negative result (kept for the record): computing this via a
+  // pipelined double divide + exact integer fix-up (valid for
+  // n >= 2048, verified exhaustively) measured ~10% SLOWER end-to-end
+  // on the bench host than the integer divider — the int<->fp
+  // transfers and 128-bit fix-up multiplies cost more than the
+  // off-critical-path divide they replaced.
   static inline uint64_t recip(uint32_t n) {
-    return n > 1 ? ~0ull / n + 1 : 0;  // ceil(2^64/n) for n >= 2
+    return n > 1 ? ~0ull / n + 1 : 0;
   }
 
   void init(const uint32_t* cards, uint32_t n_models) {
@@ -1582,10 +1590,15 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
   Well well(well_state);
   double total_d = 0.0;
 
+  // Per-line two-pass split: quantization (context chain + dither +
+  // table maps) has no dependence on coder state, so it runs as a tight
+  // lookup loop first; the coder pass then streams the precomputed
+  // (model, symbol) pairs with the next models prefetched — the
+  // adaptive-coding recurrence is the only remaining serial chain.
+  std::vector<uint32_t> mbuf(columns);
+  std::vector<uint8_t> xbuf(columns);
   for (uint64_t i = 0; i < n_lines; ++i) {
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    enc.step(bank, 0, c);
-    bank.update(0, c);
     const uint8_t* row = data + i * columns;
     uint8_t* rrow = recon ? recon + i * columns : nullptr;
     uint32_t prev = 0;
@@ -1598,15 +1611,24 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
       uint64_t pc = p * 2 + choice;
       uint8_t d = row[col];
       uint8_t qv = tb->qv_map[pc * A + d];
-      uint32_t x = tb->qs_map[pc * A + d];
-      uint32_t m = static_cast<uint32_t>(1 + pc);
-      enc.step(bank, m, x);
-      bank.update(m, x);
+      mbuf[col] = static_cast<uint32_t>(1 + pc);
+      xbuf[col] = tb->qs_map[pc * A + d];
       if (dist) line_d += dist[static_cast<uint32_t>(d) * A + qv];
       if (rrow) rrow[col] = qv;
       prev = qv;
     }
     total_d += line_d / columns;
+
+    enc.step(bank, 0, c);
+    bank.update(0, c);
+    bank.prefetch(mbuf[0]);
+    if (columns > 1) bank.prefetch(mbuf[1]);
+    for (uint32_t col = 0; col < columns; ++col) {
+      if (col + 2 < columns) bank.prefetch(mbuf[col + 2]);
+      uint32_t m = mbuf[col];
+      enc.step(bank, m, xbuf[col]);
+      bank.update(m, xbuf[col]);
+    }
   }
   if (distortion_out) *distortion_out = total_d;
   int64_t n = enc.finish();
