@@ -15,7 +15,7 @@ models restart adaptation, costing a few hundred bytes per shard).
 Layout (all integers big-endian):
 
     [0:4]    magic b"QVZ2"
-    [4]      format version (3)
+    [4]      format version (4)
     [5]      cluster count
     [6]      symbol order: 0 = line-major (reference order),
              1 = column-major (default — all cluster ids, then column 0
@@ -23,9 +23,17 @@ Layout (all integers big-endian):
              models stay L1-resident during coding, which the line-major
              order cannot achieve once clusters*columns*contexts models
              exceed the cache)
-    [7:11]   columns  u32
-    [11:19]  lines    u64  (no uint32 truncation, unlike v1)
-    [19:23]  n_shards u32
+    [7]      priming: 0 = every shard's adaptive models start from
+             scratch (counts = 1, fully independent shards); 1 = shards
+             1..N-1 start from the model-bank state captured after
+             shard 0 ("warmup" shard) — encoder and decoder both derive
+             that state by processing shard 0, so the prior costs ZERO
+             container bytes and removes nearly all of the per-shard
+             adaptation-restart rate overhead; decode of shard k then
+             requires shard 0 first (a short serial stage)
+    [8:12]   columns  u32
+    [12:20]  lines    u64  (no uint32 truncation, unlike v1)
+    [20:24]  n_shards u32
     then the per-cluster ASCII codebook blocks (identical to v1)
     then 128 bytes raw file-level WELL-1024a state
     then per shard:
@@ -50,10 +58,10 @@ import struct
 from dataclasses import dataclass
 
 MAGIC = b"QVZ2"
-VERSION = 3  # v3 added per-shard xxh64 payload checksums
+VERSION = 4  # v3: per-shard xxh64 checksums; v4: shard priming byte
 ORDER_LINE = 0   # reference symbol order: line-major
 ORDER_COL = 1    # column-major: per-column model locality (default)
-_HEAD = struct.Struct(">4sBBBIQI")
+_HEAD = struct.Struct(">4sBBBBIQI")
 _SHARD = struct.Struct(">QQQ")
 
 
@@ -75,6 +83,7 @@ class ContainerV2:
     well_state: bytes  # file-level 128-byte state
     shards: list
     order: int = ORDER_COL
+    priming: int = 0
 
 
 def is_v2(data: bytes) -> bool:
@@ -83,7 +92,7 @@ def is_v2(data: bytes) -> bool:
 
 def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
           shard_lines: list, shard_states: list, payloads: list,
-          order: int = ORDER_COL) -> bytes:
+          order: int = ORDER_COL, priming: int = 0) -> bytes:
     """Assemble a QVZ2 container.
 
     shard_lines: lines per shard; shard_states: 128-byte WELL start
@@ -95,8 +104,8 @@ def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
     n_shards = len(payloads)
     assert len(shard_lines) == n_shards and len(shard_states) == n_shards
     out = bytearray()
-    out += _HEAD.pack(MAGIC, VERSION, cluster_count, order, columns,
-                      lines, n_shards)
+    out += _HEAD.pack(MAGIC, VERSION, cluster_count, order, priming,
+                      columns, lines, n_shards)
     out += blocks
     file_state = shard_states[0]
     assert len(file_state) == 128
@@ -120,13 +129,15 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     """
     if len(data) < _HEAD.size:
         raise ValueError("truncated QVZ2 container (short header)")
-    magic, version, cc, order, columns, lines, n_shards = _HEAD.unpack(
-        data[:_HEAD.size])
+    (magic, version, cc, order, priming, columns, lines,
+     n_shards) = _HEAD.unpack(data[:_HEAD.size])
     if magic != MAGIC or version != VERSION:
         raise ValueError("not a QVZ2 container")
     if order not in (ORDER_LINE, ORDER_COL):
         raise ValueError("unknown QVZ2 symbol order")
-    head = ContainerV2(cc, columns, lines, b"", b"", [], order)
+    if priming not in (0, 1):
+        raise ValueError("unknown QVZ2 priming mode")
+    head = ContainerV2(cc, columns, lines, b"", b"", [], order, priming)
     if blocks_len is None:
         return head
     pos = _HEAD.size

@@ -148,15 +148,19 @@ def load() -> ctypes.CDLL:
     lib.qvz_decode_lines.restype = c.c_int32
 
     lib.qvz_encode_fused_colmajor.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p, c.c_int64]
+        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p,
+        c.c_int64, u32p, u32p]
     lib.qvz_encode_fused_colmajor.restype = c.c_int64
 
     lib.qvz_encode_precomputed_colmajor.argtypes = [
-        c.c_void_p, u32p, u8p, u8p, c.c_uint64, u8p, c.c_int64]
+        c.c_void_p, u32p, u8p, u8p, c.c_uint64, u8p, c.c_int64, u32p, u32p]
     lib.qvz_encode_precomputed_colmajor.restype = c.c_int64
 
+    lib.qvz_tables_bank_words.argtypes = [c.c_void_p]
+    lib.qvz_tables_bank_words.restype = c.c_uint64
+
     lib.qvz_decode_colmajor.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p]
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u32p, u32p]
     lib.qvz_decode_colmajor.restype = c.c_int32
 
     _lib = lib

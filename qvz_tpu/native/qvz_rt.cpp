@@ -305,6 +305,27 @@ struct ModelBank {
     __builtin_prefetch(counts.data() + mi.off);
   }
 
+  // Snapshot blob = counts then per-model totals (u32 each); magic is
+  // derived on load. Used by QVZ2 shard priming: encoder and decoder
+  // both derive the SAME warmup state by processing shard 0, so no
+  // prior table is ever serialized into the container.
+  uint64_t blob_words() const { return counts.size() + info.size(); }
+
+  void dump(uint32_t* blob) const {
+    std::memcpy(blob, counts.data(), counts.size() * sizeof(uint32_t));
+    uint32_t* t = blob + counts.size();
+    for (size_t m = 0; m < info.size(); ++m) t[m] = info[m].total;
+  }
+
+  void load(const uint32_t* blob) {
+    std::memcpy(counts.data(), blob, counts.size() * sizeof(uint32_t));
+    const uint32_t* t = blob + counts.size();
+    for (size_t m = 0; m < info.size(); ++m) {
+      info[m].total = t[m];
+      info[m].magic = recip(t[m]);
+    }
+  }
+
   inline void update(uint32_t m, uint32_t x) {
     MInfo& mi = info[m];
     uint32_t* c = counts.data() + mi.off;
@@ -1250,6 +1271,15 @@ const uint32_t* qvz_tables_model_card(void* h) { return static_cast<Tables*>(h)-
 const uint64_t* qvz_tables_model_off(void* h) { return static_cast<Tables*>(h)->model_off.data(); }
 const uint8_t* qvz_tables_model_syms(void* h) { return static_cast<Tables*>(h)->model_syms.data(); }
 uint64_t qvz_tables_model_syms_len(void* h) { return static_cast<Tables*>(h)->model_syms.size(); }
+
+// u32 words in a ModelBank snapshot blob for these tables
+// (sum of cards + one total per model).
+uint64_t qvz_tables_bank_words(void* h) {
+  Tables* tb = static_cast<Tables*>(h);
+  uint64_t w = tb->n_models;
+  for (uint32_t m = 0; m < tb->n_models; ++m) w += tb->model_card[m];
+  return w;
+}
 const uint8_t* qvz_tables_qv_map(void* h) { return static_cast<Tables*>(h)->qv_map.data(); }
 const uint8_t* qvz_tables_qs_map(void* h) { return static_cast<Tables*>(h)->qs_map.data(); }
 
@@ -1648,17 +1678,22 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
 //
 // data_t: column-major (columns x n_lines) symbols. recon_t (optional)
 // is written column-major too. Returns payload bytes or -(needed).
+// init_bank/out_bank (optional): model-bank snapshot blobs of
+// qvz_tables_bank_words() u32 words — load the adaptive state before
+// coding / capture it after (QVZ2 shard priming).
 int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
                                   uint64_t n_lines,
                                   const uint8_t* cluster_ids,
                                   const uint32_t* well_state,
                                   const double* dist, uint8_t* recon_t,
                                   double* distortion_out, uint8_t* out,
-                                  int64_t cap) {
+                                  int64_t cap, const uint32_t* init_bank,
+                                  uint32_t* out_bank) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
   bank.init(tb->model_card.data(), tb->n_models);
+  if (init_bank) bank.load(init_bank);
   BitWriter bw(out, cap);
   Encoder enc(&bw);
 
@@ -1712,6 +1747,7 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
     }
   }
   if (distortion_out) *distortion_out = total_d / columns;
+  if (out_bank) bank.dump(out_bank);
   int64_t n = enc.finish();
   if (bw.overflow) return -n;
   return n;
@@ -1729,11 +1765,14 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
                                         const uint8_t* qs_t,      // (cols,n)
                                         const uint8_t* cluster_ids,
                                         uint64_t n_lines, uint8_t* out,
-                                        int64_t cap) {
+                                        int64_t cap,
+                                        const uint32_t* init_bank,
+                                        uint32_t* out_bank) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
   bank.init(tb->model_card.data(), tb->n_models);
+  if (init_bank) bank.load(init_bank);
   BitWriter bw(out, cap);
   Encoder enc(&bw);
 
@@ -1752,6 +1791,7 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
       bank.update(m, x);
     }
   }
+  if (out_bank) bank.dump(out_bank);
   int64_t n = enc.finish();
   if (bw.overflow) return -n;
   return n;
@@ -1761,11 +1801,13 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
 // Phred+33 text lines with newlines into out ((columns+1) per line).
 int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint64_t payload_len, uint64_t n_lines,
-                            const uint32_t* well_state, uint8_t* out) {
+                            const uint32_t* well_state, uint8_t* out,
+                            const uint32_t* init_bank, uint32_t* out_bank) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
   bank.init(tb->model_card.data(), tb->n_models);
+  if (init_bank) bank.load(init_bank);
   BitReader br(payload, payload_len);
   Decoder dec(&br);
 
@@ -1807,6 +1849,11 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
       uint32_t x;
       if (last_col && i + 1 == n_lines) {
         x = dec.last(bank, m);
+        // The reference's decoder_last_step never updates the model
+        // (qv_compressor.c:222-225); when a priming snapshot is being
+        // captured, apply the bookkeeping update anyway so the decoder
+        // snapshot matches the encoder's (which updates every symbol).
+        if (out_bank) bank.update(m, x);
       } else {
         x = dec.step(bank, m);
         bank.update(m, x);
@@ -1820,6 +1867,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
   for (uint64_t i = 0; i < n_lines; ++i) {
     out[i * (columns + 1) + columns] = '\n';
   }
+  if (out_bank) bank.dump(out_bank);
   return 0;
 }
 

@@ -82,6 +82,7 @@ class Tables:
                            (self.n_pairs * 2, ALPHABET_SIZE))
         self.qs_map = view(lib.qvz_tables_qs_map, np.uint8,
                            (self.n_pairs * 2, ALPHABET_SIZE))
+        self.bank_words = int(lib.qvz_tables_bank_words(handle))
 
     def __del__(self):
         try:
@@ -291,13 +292,17 @@ def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
 
 def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
                           well_state_words, dist: np.ndarray | None = None,
-                          want_recon: bool = False):
+                          want_recon: bool = False,
+                          init_bank: np.ndarray | None = None,
+                          want_bank: bool = False):
     """Column-major fused encode (QVZ2 shard payloads).
 
     data_t: (cols, n) uint8 column-major symbols. Identical quantization
     decisions (and reconstruction) to encode_fused; only the entropy-
     coding order differs, keeping each column's adaptive models
-    L1-resident. Returns (payload, recon (n, cols) or None, dist_sum).
+    L1-resident. Returns (payload, recon (n, cols) or None, dist_sum)
+    plus the final model-bank snapshot when want_bank (shard priming).
+    init_bank: snapshot to start the adaptive models from.
     """
     lib = native.load()
     cols, n = data_t.shape
@@ -309,6 +314,10 @@ def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
          if dist is not None else None)
     recon_t = np.empty((cols, n), dtype=np.uint8) if want_recon else None
     dsum = ctypes.c_double(0.0)
+    ib = (np.ascontiguousarray(init_bank, dtype=np.uint32)
+          if init_bank is not None else None)
+    ob = (np.empty(tables.bank_words, dtype=np.uint32)
+          if want_bank else None)
     cap = n * cols + (n * cols) // 2 + 4096
     while True:
         out = np.empty(cap, dtype=np.uint8)
@@ -318,24 +327,35 @@ def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
             _ptr(st, _u32p),
             _ptr(d, _dp) if d is not None else None,
             _ptr(recon_t, _u8p) if recon_t is not None else None,
-            ctypes.byref(dsum), _ptr(out, _u8p), cap)
+            ctypes.byref(dsum), _ptr(out, _u8p), cap,
+            _ptr(ib, _u32p) if ib is not None else None,
+            _ptr(ob, _u32p) if ob is not None else None)
         if r >= 0:
             recon = recon_t.T.copy() if recon_t is not None else None
+            if want_bank:
+                return out[:r].tobytes(), recon, dsum.value, ob
             return out[:r].tobytes(), recon, dsum.value
         cap = -r + 4096
 
 
 def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
                                 qs_t: np.ndarray, cluster_ids,
-                                n_lines: int) -> bytes:
+                                n_lines: int,
+                                init_bank: np.ndarray | None = None,
+                                want_bank: bool = False):
     """Entropy-code a shard from device-precomputed (model id, symbol)
     streams in column-major order. Byte-identical to
-    encode_fused_colmajor for the same quantization decisions."""
+    encode_fused_colmajor for the same quantization decisions.
+    init_bank/want_bank: model-bank snapshot in/out (shard priming)."""
     lib = native.load()
     model_t = np.ascontiguousarray(model_t, dtype=np.uint32)
     qs_t = np.ascontiguousarray(qs_t, dtype=np.uint8)
     cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
           if cluster_ids is not None else None)
+    ib = (np.ascontiguousarray(init_bank, dtype=np.uint32)
+          if init_bank is not None else None)
+    ob = (np.empty(tables.bank_words, dtype=np.uint32)
+          if want_bank else None)
     cols = tables.columns
     cap = n_lines * cols + (n_lines * cols) // 2 + 4096
     while True:
@@ -343,16 +363,24 @@ def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
         r = lib.qvz_encode_precomputed_colmajor(
             tables._h, _ptr(model_t, _u32p), _ptr(qs_t, _u8p),
             _ptr(cl, _u8p) if cl is not None else None,
-            n_lines, _ptr(out, _u8p), cap)
+            n_lines, _ptr(out, _u8p), cap,
+            _ptr(ib, _u32p) if ib is not None else None,
+            _ptr(ob, _u32p) if ob is not None else None)
         if r >= 0:
-            return out[:r].tobytes()
+            return (out[:r].tobytes(), ob) if want_bank \
+                else out[:r].tobytes()
         cap = -r + 4096
 
 
 def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
-                    well_state_words, out: np.ndarray | None = None
-                    ) -> np.ndarray:
-    """Decode a column-major shard payload to Phred+33 text lines."""
+                    well_state_words, out: np.ndarray | None = None,
+                    init_bank: np.ndarray | None = None,
+                    want_bank: bool = False):
+    """Decode a column-major shard payload to Phred+33 text lines.
+
+    init_bank/want_bank: model-bank snapshot in/out (shard priming;
+    the captured snapshot includes the final bookkeeping update so it
+    matches the encoder's)."""
     lib = native.load()
     cols = tables.columns
     pay = np.frombuffer(payload, dtype=np.uint8)
@@ -364,11 +392,18 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
     else:
         assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
         assert out.size == n_lines * (cols + 1)
+    ib = (np.ascontiguousarray(init_bank, dtype=np.uint32)
+          if init_bank is not None else None)
+    ob = (np.empty(tables.bank_words, dtype=np.uint32)
+          if want_bank else None)
     r = lib.qvz_decode_colmajor(tables._h, _ptr(pay, _u8p), len(pay),
-                                n_lines, _ptr(st, _u32p), _ptr(out, _u8p))
+                                n_lines, _ptr(st, _u32p), _ptr(out, _u8p),
+                                _ptr(ib, _u32p) if ib is not None else None,
+                                _ptr(ob, _u32p) if ob is not None else None)
     if r != 0:
         raise ValueError(f"decode failed with status {r}")
-    return out.reshape(n_lines, cols + 1)
+    out = out.reshape(n_lines, cols + 1)
+    return (out, ob) if want_bank else out
 
 
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,

@@ -117,8 +117,18 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
             else:
                 c0, cond = rt.stats_host(data, cl, n_clusters)
             conn.send((c0, cond))
+        elif cmd == "encode_warmup":
+            # prime source: encode ONLY the warmup shard (this host's
+            # first), return its payload + the bank snapshot
+            blocks, n_clusters, state0, count0, dist = msg[1:]
+            tables = rt.tables_from_blocks(blocks, n_clusters, columns)
+            pay, _, dsum, bank = rt.encode_fused_colmajor(
+                tables, np.ascontiguousarray(data[:count0].T),
+                assign[:count0] if assign is not None else None,
+                state0, dist=dist, want_recon=False, want_bank=True)
+            conn.send((pay, dsum, bank))
         elif cmd == "encode":
-            blocks, n_clusters, states, counts, dist = msg[1:]
+            blocks, n_clusters, states, counts, dist, skip0, bank = msg[1:]
             from concurrent.futures import ThreadPoolExecutor
 
             tables = rt.tables_from_blocks(blocks, n_clusters, columns)
@@ -129,12 +139,14 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
                 return rt.encode_fused_colmajor(
                     tables, np.ascontiguousarray(data[a:b].T),
                     assign[a:b] if assign is not None else None,
-                    states[s], dist=dist, want_recon=False)
+                    states[s], dist=dist, want_recon=False,
+                    init_bank=bank)
 
+            todo = range(skip0, len(counts))
             with ThreadPoolExecutor(
-                    max_workers=min(len(counts),
-                                    os.cpu_count() or 1)) as ex:
-                results = list(ex.map(run, range(len(counts))))
+                    max_workers=max(1, min(len(counts) - skip0,
+                                           os.cpu_count() or 1))) as ex:
+                results = list(ex.map(run, todo))
             conn.send(([r[0] for r in results],
                        float(sum(r[2] for r in results))))
         elif cmd == "quit":
@@ -146,16 +158,16 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
 # Coordinator.
 
 
-def _shard_plan(n: int, columns: int, shards: int):
+def _shard_plan(n: int, columns: int, shards: int, warmup: int = 0):
     from qvz_tpu.pipeline.encode import _shard_plan as plan
-    return plan(n, columns, shards)
+    return plan(n, columns, shards, warmup=warmup)
 
 
 def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                      n_clusters: int = 1, mode: int = MODE_RATIO,
                      ratio: float = 0.5, cluster_threshold: float = 4.0,
                      well_state=None, dist_matrix=None,
-                     use_jax: bool = False):
+                     use_jax: bool = False, prime: bool = True):
     """Encode a quality file across n_hosts worker processes.
 
     Returns (container bytes, stats dict). The container is
@@ -184,7 +196,12 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
 
     if shards == 0:
         shards = max(n_hosts, (os.cpu_count() or 1))
-    counts = _shard_plan(n, columns, shards)
+    from qvz_tpu.pipeline.encode import PRIME_WARMUP_LINES
+    warmup = min(PRIME_WARMUP_LINES, max(4096, n // 8)) if prime else 0
+    prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
+    counts = _shard_plan(n, columns, shards,
+                         warmup=warmup if prime_on else 0)
+    prime_on = prime_on and len(counts) > 1
     S = len(counts)
     n_hosts = max(1, min(n_hosts, S))
 
@@ -197,8 +214,13 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
     # per-shard WELL start states (single logical dither stream)
     order = [(well_state.n + i) & 31 for i in range(32)]
     state_words = np.asarray(well_state.state, dtype=np.uint32)[order]
-    wpc = counts[0] * columns // 4
-    states = rt.well_jump(state_words, S, wpc)
+    if prime_on:
+        base2 = rt.well_jump(state_words, 2, counts[0] * columns // 4)
+        rest = rt.well_jump(base2[1], S - 1, counts[1] * columns // 4)
+        states = np.vstack([state_words[None, :], rest])
+    else:
+        wpc = counts[0] * columns // 4
+        states = rt.well_jump(state_words, S, wpc)
 
     from multiprocessing.connection import Listener
 
@@ -283,15 +305,29 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         stats["design_s"] = t3 - t2
 
         # --- coding (each host codes its shards) ------------------------
+        # With priming, host 0 first encodes the warmup shard alone and
+        # the captured bank snapshot is broadcast to every host — the
+        # cross-host analog of the in-process warmup stage.
         dist_total = 0.0
+        warm_pay = None
+        bank = None
+        if prime_on:
+            conns[0].send(("encode_warmup", blocks, n_clusters,
+                           states[0], int(counts[0]), dist_matrix))
+            warm_pay, dsum0, bank = conns[0].recv()
+            dist_total += dsum0
         payload_lists = [None] * n_hosts
         for h, (s0, s1) in enumerate(host_shards):
+            skip0 = 1 if (prime_on and h == 0) else 0
             conns[h].send(("encode", blocks, n_clusters,
-                           states[s0:s1], counts[s0:s1], dist_matrix))
+                           states[s0:s1], counts[s0:s1], dist_matrix,
+                           skip0, bank))
         for h, c in enumerate(conns):
             payloads, dsum = c.recv()
             payload_lists[h] = payloads
             dist_total += dsum
+        if prime_on:
+            payload_lists[0] = [warm_pay] + payload_lists[0]
         t4 = time.perf_counter()
         stats["code_s"] = t4 - t3
 
@@ -299,7 +335,8 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         shard_states = [np.asarray(states[s], dtype="<u4").tobytes()
                         for s in range(S)]
         compressed = container_v2.build(blocks, n_clusters, columns, n,
-                                        counts, shard_states, all_payloads)
+                                        counts, shard_states, all_payloads,
+                                        priming=1 if prime_on else 0)
         payload_bytes = sum(len(p) for p in all_payloads)
         stats["payload_bytes"] = payload_bytes
         stats["rate"] = payload_bytes * 8.0 / (float(n) * columns)

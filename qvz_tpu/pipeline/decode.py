@@ -52,19 +52,36 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
     dec_fn = (rt.decode_colmajor if head.order == container_v2.ORDER_COL
               else rt.decode_lines)
 
-    def run(i):
+    def run(i, init_bank=None, want_bank=False):
         s = head.shards[i]
         well = np.frombuffer(s.well_state, dtype="<u4")
         payload = compressed[s.payload_off:s.payload_off + s.payload_len]
         if rt.xxh64(payload) != s.checksum:
             raise ValueError(
                 f"shard {i} payload checksum mismatch (corrupt container)")
+        if init_bank is not None or want_bank:
+            if head.order != container_v2.ORDER_COL:
+                raise ValueError("primed QVZ2 requires column-major order")
+            return rt.decode_colmajor(
+                tables, payload, s.lines, well,
+                out=out[offs[i]:offs[i + 1]].reshape(-1),
+                init_bank=init_bank, want_bank=want_bank)
         dec_fn(tables, payload, s.lines, well,
                out=out[offs[i]:offs[i + 1]].reshape(-1))
 
-    with ThreadPoolExecutor(
-            max_workers=min(len(head.shards), os.cpu_count() or 1)) as ex:
-        list(ex.map(run, range(len(head.shards))))
+    if head.priming and len(head.shards) > 1:
+        # serial warmup stage: shard 0 re-derives the shared prior
+        _, bank = run(0, want_bank=True)
+        with ThreadPoolExecutor(
+                max_workers=min(len(head.shards) - 1,
+                                os.cpu_count() or 1)) as ex:
+            list(ex.map(lambda i: run(i, init_bank=bank),
+                        range(1, len(head.shards))))
+    else:
+        with ThreadPoolExecutor(
+                max_workers=min(len(head.shards),
+                                os.cpu_count() or 1)) as ex:
+            list(ex.map(run, range(len(head.shards))))
     return out
 
 

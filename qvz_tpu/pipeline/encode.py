@@ -66,10 +66,34 @@ def _device_worthwhile(n_bytes: int) -> bool:
     return n_bytes >= thresh
 
 
-def _shard_plan(n: int, columns: int, shards: int):
+# Warmup-shard size for primed QVZ2 encodes: shard 0 is capped at this
+# many lines so the serial warmup stage stays a small fraction of the
+# wall time while the adaptive models still see enough symbols to
+# converge (the adaptation redundancy is concentrated in each model's
+# first ~hundred updates). Overridable for experiments.
+PRIME_WARMUP_LINES = int(os.environ.get("QVZ_TPU_WARMUP_LINES", 65536))
+
+
+def _shard_plan(n: int, columns: int, shards: int, warmup: int = 0):
     """Split n lines into <= `shards` contiguous shards whose dither-draw
     offsets land on WELL pool-word boundaries (4 draws per 32-bit pool
-    word, well.c:33-46), so jump-ahead start states are exact."""
+    word, well.c:33-46), so jump-ahead start states are exact.
+
+    warmup > 0: shard 0 is a warmup shard of ~`warmup` lines (model-bank
+    priming source); the remaining lines split evenly across the other
+    shards."""
+    if warmup > 0 and shards > 1 and n > 2 * warmup:
+        w = max(4, (min(warmup, n // 2) + 3) & ~3)
+        rest = n - w
+        per = -(-rest // (shards - 1))
+        per = max(4, (per + 3) & ~3)
+        counts = [w]
+        left = rest
+        while left > 0:
+            take = min(per, left)
+            counts.append(take)
+            left -= take
+        return counts
     per = -(-n // shards)
     per = max(4, (per + 3) & ~3)  # multiple of 4 => 4 | per*columns
     counts = []
@@ -89,7 +113,8 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            shards: int = 1,
            mesh=None,
            reuse_blocks: bytes | None = None,
-           want_recon: bool = True) -> EncodeOutput:
+           want_recon: bool = True,
+           prime: bool = True) -> EncodeOutput:
     """mesh: optional jax.sharding.Mesh with a 'reads' axis — the heavy
     statistics/clustering passes then run data-parallel over its devices
     with integer psum merging (bit-identical to the 1-device path).
@@ -100,7 +125,12 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     checkpoint boundary (SURVEY §5): its output fully determines the
     coder, and coding is restartable per shard. Clustering must still
     assign reads; with reuse the k-means centroids are re-derived from
-    the data (cluster ids are per-read, not in the blocks)."""
+    the data (cluster ids are per-read, not in the blocks).
+
+    prime (QVZ2 only): shards 1..N-1 start their adaptive models from
+    the bank state after a small warmup shard 0, removing nearly all of
+    the per-shard adaptation-restart rate overhead at zero container
+    cost (both sides derive the prior by processing shard 0)."""
     n, columns = data.shape
     if shards == 0:
         shards = os.cpu_count() or 1
@@ -145,7 +175,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
         return _finish_encode(data, dist_matrix, clusters, cluster_arr,
                               blocks, tables, n, columns, n_clusters,
                               shards, well_state, want_recon, stats, t3,
-                              use_jax=use_jax, mesh=mesh)
+                              use_jax=use_jax, mesh=mesh, prime=prime)
 
     # --- statistics ---------------------------------------------------------
     if mesh is not None:
@@ -174,7 +204,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     return _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks,
                           tables, n, columns, n_clusters, shards,
                           well_state, want_recon, stats, t3,
-                          use_jax=use_jax, mesh=mesh)
+                          use_jax=use_jax, mesh=mesh, prime=prime)
 
 
 def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
@@ -200,7 +230,7 @@ def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
 
 def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
                    n, columns, n_clusters, shards, well_state, want_recon,
-                   stats, t3, use_jax=False, mesh=None):
+                   stats, t3, use_jax=False, mesh=None, prime=True):
     # --- fused quantize + dither + entropy coding -----------------------------
     well_bytes = well_state.to_bytes()
     order = [(well_state.n + i) & 31 for i in range(32)]
@@ -217,11 +247,26 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
 
         from qvz_tpu.format import container_v2
 
-        counts = _shard_plan(n, columns, shards)
+        # Adaptive warmup: an eighth of the file, capped — rate overhead
+        # vs v1 measured at 500k x 100 / 4 shards: unprimed +0.69%,
+        # 32k warmup +0.10%, 64k +0.06% (the <0.1% target).
+        warmup = min(PRIME_WARMUP_LINES, max(4096, n // 8)) if prime else 0
+        prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
+        counts = _shard_plan(n, columns, shards,
+                             warmup=warmup if prime_on else 0)
+        prime_on = prime_on and len(counts) > 1
         # Per-shard WELL start states: shard s begins exactly
         # counts[0..s)*columns draws into the single logical stream.
-        wpc = counts[0] * columns // 4
-        states = rt.well_jump(state_words, len(counts), wpc)
+        if prime_on:
+            # non-uniform plan: jump over the warmup shard, then equal
+            # chunks from there
+            base2 = rt.well_jump(state_words, 2, counts[0] * columns // 4)
+            rest = rt.well_jump(base2[1], len(counts) - 1,
+                                counts[1] * columns // 4)
+            states = np.vstack([state_words[None, :], rest])
+        else:
+            wpc = counts[0] * columns // 4
+            states = rt.well_jump(state_words, len(counts), wpc)
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
         if use_jax or mesh is not None:
@@ -249,19 +294,28 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
             stats.phase_seconds["quantize"] = td2 - td1
             stats.device_seconds["quantize"] = td2 - td1
 
-            def run(s):
+            def run(s, init_bank=None, want_bank=False):
                 lo, hi = offs[s], offs[s + 1]
-                payload = rt.encode_precomputed_colmajor(
+                return rt.encode_precomputed_colmajor(
                     tables, np.ascontiguousarray(model_t[:, lo:hi]),
                     np.ascontiguousarray(qs_t[:, lo:hi]),
                     clusters[lo:hi] if clusters is not None else None,
-                    hi - lo)
-                return payload
+                    hi - lo, init_bank=init_bank, want_bank=want_bank)
 
-            with ThreadPoolExecutor(
-                    max_workers=min(len(counts),
-                                    os.cpu_count() or 1)) as ex:
-                payloads = list(ex.map(run, range(len(counts))))
+            if prime_on:
+                # serial warmup stage: shard 0 derives the shared prior
+                pay0, bank = run(0, want_bank=True)
+                with ThreadPoolExecutor(
+                        max_workers=min(len(counts) - 1,
+                                        os.cpu_count() or 1)) as ex:
+                    payloads = [pay0] + list(ex.map(
+                        lambda s: run(s, init_bank=bank),
+                        range(1, len(counts))))
+            else:
+                with ThreadPoolExecutor(
+                        max_workers=min(len(counts),
+                                        os.cpu_count() or 1)) as ex:
+                    payloads = list(ex.map(run, range(len(counts))))
             # Distortion accounting from the device-computed recon
             # (display-only; fp addition order differs from the host
             # fused pass in the last bits, well inside the -s %.4f).
@@ -270,18 +324,29 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
                             qv_t.T.reshape(-1)].sum()) / columns
             recon = qv_t.T.copy() if want_recon else None
         else:
-            def run(s):
+            def run(s, init_bank=None, want_bank=False):
                 lo, hi = offs[s], offs[s + 1]
                 # each worker transposes its own shard (one copy each)
                 return rt.encode_fused_colmajor(
                     tables, np.ascontiguousarray(data[lo:hi].T),
                     clusters[lo:hi] if clusters is not None else None,
-                    states[s], dist=dist_matrix, want_recon=want_recon)
+                    states[s], dist=dist_matrix, want_recon=want_recon,
+                    init_bank=init_bank, want_bank=want_bank)
 
-            with ThreadPoolExecutor(
-                    max_workers=min(len(counts),
-                                    os.cpu_count() or 1)) as ex:
-                results = list(ex.map(run, range(len(counts))))
+            if prime_on:
+                # serial warmup stage: shard 0 derives the shared prior
+                p0, r0, d0, bank = run(0, want_bank=True)
+                with ThreadPoolExecutor(
+                        max_workers=min(len(counts) - 1,
+                                        os.cpu_count() or 1)) as ex:
+                    results = [(p0, r0, d0)] + list(ex.map(
+                        lambda s: run(s, init_bank=bank),
+                        range(1, len(counts))))
+            else:
+                with ThreadPoolExecutor(
+                        max_workers=min(len(counts),
+                                        os.cpu_count() or 1)) as ex:
+                    results = list(ex.map(run, range(len(counts))))
             payloads = [r[0] for r in results]
             dist_sum = float(sum(r[2] for r in results))
             recon = (np.concatenate([r[1] for r in results])
@@ -289,7 +354,8 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
         shard_states = [np.asarray(states[s], dtype="<u4").tobytes()
                         for s in range(len(counts))]
         compressed = container_v2.build(
-            blocks, n_clusters, columns, n, counts, shard_states, payloads)
+            blocks, n_clusters, columns, n, counts, shard_states, payloads,
+            priming=1 if prime_on else 0)
         payload_bytes = sum(len(p) for p in payloads)
     t4 = time.perf_counter()
     # "code" covers only the entropy-coding pass; the device path's
