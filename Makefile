@@ -9,7 +9,7 @@ NATIVE_DIR := qvz_tpu/native
 SAN_FLAGS := -O1 -g -std=c++17 -fno-omit-frame-pointer \
   $(NATIVE_DIR)/qvz_rt.cpp $(NATIVE_DIR)/sanitize_harness.cpp
 
-.PHONY: all native test test-fast bench tsan asan clean
+.PHONY: all native test test-fast test-tpu bench tsan asan clean
 
 all: native
 
@@ -22,6 +22,11 @@ test:
 
 test-fast:
 	$(PY) -m pytest tests/ -q -x --ignore=tests/test_reference_live.py
+
+# On-chip TPU validation (real chip via the tunnel; watchdogged
+# subprocesses). Skipped cleanly when no TPU is reachable.
+test-tpu:
+	QVZ_TPU_ONCHIP=1 $(PY) -m pytest tests/test_tpu_onchip.py -q -m tpu
 
 bench:
 	$(PY) bench.py

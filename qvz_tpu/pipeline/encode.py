@@ -83,9 +83,12 @@ def _shard_plan(n: int, columns: int, shards: int, warmup: int = 0):
     priming source); the remaining lines split evenly across the other
     shards."""
     if warmup > 0 and shards > 1 and n > 2 * warmup:
+        # rest splits across `shards` full shards (warmup is an EXTRA
+        # small shard: the parallel coding stage must still use every
+        # core, so total shard count is shards+1)
         w = max(4, (min(warmup, n // 2) + 3) & ~3)
         rest = n - w
-        per = -(-rest // (shards - 1))
+        per = -(-rest // shards)
         per = max(4, (per + 3) & ~3)
         counts = [w]
         left = rest

@@ -29,3 +29,21 @@ GOLDEN = pathlib.Path(__file__).parent / "golden"
 @pytest.fixture(scope="session")
 def golden_dir() -> pathlib.Path:
     return GOLDEN
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: runs on the REAL TPU chip (subprocess-watchdogged); "
+        "skipped unless QVZ_TPU_ONCHIP=1 (make test-tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("QVZ_TPU_ONCHIP") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="on-chip test: set QVZ_TPU_ONCHIP=1 (or `make test-tpu`) "
+               "to run on the real TPU")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
