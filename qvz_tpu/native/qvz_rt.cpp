@@ -1721,7 +1721,13 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
     bank.update(0, c);
   }
 
+  // Per-column two-pass split (mirror of the decoder's): quantization
+  // depends only on the previous column's outputs, so it runs as a
+  // branch-light vector pass; the serial coder loop then streams the
+  // precomputed (model, symbol) pairs with models prefetched ahead.
   std::vector<uint8_t> prev_qv(n_lines, 0);
+  std::vector<uint32_t> mcol(n_lines);
+  std::vector<uint8_t> xcol(n_lines);
   double total_d = 0.0;
   for (uint32_t col = 0; col < columns; ++col) {
     const uint8_t* dcol = data_t + static_cast<size_t>(col) * n_lines;
@@ -1737,13 +1743,16 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
       uint64_t pc = p * 2 + choice;
       uint8_t d = dcol[i];
       uint8_t qv = tb->qv_map[pc * A + d];
-      uint32_t x = tb->qs_map[pc * A + d];
-      uint32_t m = static_cast<uint32_t>(1 + pc);
-      enc.step(bank, m, x);
-      bank.update(m, x);
+      mcol[i] = static_cast<uint32_t>(1 + pc);
+      xcol[i] = tb->qs_map[pc * A + d];
       if (dist) total_d += dist[static_cast<uint32_t>(d) * A + qv];
       if (rcol) rcol[i] = qv;
       prev_qv[i] = qv;
+    }
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      if (i + 4 < n_lines) bank.prefetch(mcol[i + 4]);
+      enc.step(bank, mcol[i], xcol[i]);
+      bank.update(mcol[i], xcol[i]);
     }
   }
   if (distortion_out) *distortion_out = total_d / columns;
@@ -1835,7 +1844,15 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
     cl[i] = static_cast<uint8_t>(c);
   }
 
+  // Column-major structural advantage: every symbol's model depends
+  // only on the PREVIOUS column's decoded values, all known before the
+  // column starts. The model-id resolution (context lookup + dither
+  // compare) therefore runs as a branch-light vector pass per column,
+  // and the serial coder loop does nothing but step/update with models
+  // prefetched several symbols ahead — the line-major decoder cannot
+  // do this (its next model depends on the symbol just decoded).
   std::vector<uint8_t> prev_qv(n_lines, 0);
+  std::vector<uint32_t> mcol(n_lines);
   for (uint32_t col = 0; col < columns; ++col) {
     const uint8_t* drawcol = draws_t.data() + static_cast<size_t>(col) * n_lines;
     bool last_col = (col + 1 == columns);
@@ -1845,7 +1862,11 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
       if (ctx < 0) return -2;
       uint64_t p = tb->pair_base[cc] + static_cast<uint32_t>(ctx);
       uint32_t choice = drawcol[i] >= tb->qratio[p] ? 1u : 0u;
-      uint32_t m = static_cast<uint32_t>(1 + p * 2 + choice);
+      mcol[i] = static_cast<uint32_t>(1 + p * 2 + choice);
+    }
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      if (i + 4 < n_lines) bank.prefetch(mcol[i + 4]);
+      uint32_t m = mcol[i];
       uint32_t x;
       if (last_col && i + 1 == n_lines) {
         x = dec.last(bank, m);

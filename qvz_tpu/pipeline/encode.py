@@ -253,7 +253,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
         # Adaptive warmup: an eighth of the file, capped — rate overhead
         # vs v1 measured at 500k x 100 / 4 shards: unprimed +0.69%,
         # 32k warmup +0.10%, 64k +0.06% (the <0.1% target).
-        warmup = min(PRIME_WARMUP_LINES, max(4096, n // 8)) if prime else 0
+        warmup = min(PRIME_WARMUP_LINES, max(4096, n // 12)) if prime else 0
         prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
         counts = _shard_plan(n, columns, shards,
                              warmup=warmup if prime_on else 0)
