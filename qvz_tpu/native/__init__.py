@@ -152,6 +152,10 @@ def load() -> ctypes.CDLL:
         c.c_int64, u32p, u32p]
     lib.qvz_encode_fused_colmajor.restype = c.c_int64
 
+    lib.qvz_quantize_colmajor.argtypes = [
+        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u32p, u8p]
+    lib.qvz_quantize_colmajor.restype = None
+
     lib.qvz_encode_precomputed_colmajor.argtypes = [
         c.c_void_p, u32p, u8p, u8p, c.c_uint64, u8p, c.c_int64, u32p, u32p]
     lib.qvz_encode_precomputed_colmajor.restype = c.c_int64

@@ -1762,6 +1762,64 @@ int64_t qvz_encode_fused_colmajor(void* tables, const uint8_t* data_t,
   return n;
 }
 
+// Column-major quantization ONLY (the front half of
+// qvz_encode_fused_colmajor, no coder state touched): context chain +
+// WELL dither + table maps, writing (cols, n) model-id and symbol
+// buffers for a later qvz_encode_precomputed_colmajor pass. Lets the
+// primed pipeline quantize EVERY shard in parallel while only the
+// warmup shard's coding is serial, and is also faster than the fused
+// pass split-wise (the coder loop then runs 1.6x faster without the
+// interleaved lookups).
+void qvz_quantize_colmajor(void* tables, const uint8_t* data_t,
+                           uint64_t n_lines, const uint8_t* cluster_ids,
+                           const uint32_t* well_state, const double* dist,
+                           uint8_t* recon_t, double* distortion_out,
+                           uint32_t* model_t, uint8_t* qs_t) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  std::vector<uint8_t> draws_t(static_cast<size_t>(n_lines) * columns);
+  {
+    std::vector<uint8_t> draws(static_cast<size_t>(n_lines) * columns);
+    Well well(well_state);
+    for (size_t i = 0; i < draws.size(); ++i) {
+      draws[i] = static_cast<uint8_t>(well.draw7());
+    }
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      for (uint32_t c = 0; c < columns; ++c) {
+        draws_t[static_cast<size_t>(c) * n_lines + i] =
+            draws[i * columns + c];
+      }
+    }
+  }
+  std::vector<uint8_t> prev_qv(n_lines, 0);
+  double total_d = 0.0;
+  for (uint32_t col = 0; col < columns; ++col) {
+    const uint8_t* dcol = data_t + static_cast<size_t>(col) * n_lines;
+    const uint8_t* drawcol =
+        draws_t.data() + static_cast<size_t>(col) * n_lines;
+    uint8_t* rcol = recon_t ? recon_t + static_cast<size_t>(col) * n_lines
+                            : nullptr;
+    uint32_t* mcol = model_t + static_cast<size_t>(col) * n_lines;
+    uint8_t* xcol = qs_t + static_cast<size_t>(col) * n_lines;
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      uint32_t cl = cluster_ids ? cluster_ids[i] : 0;
+      uint64_t cc = static_cast<uint64_t>(cl) * columns + col;
+      int32_t ctx = tb->ctxmap[cc * A + prev_qv[i]];
+      uint64_t p = tb->pair_base[cc] + static_cast<uint32_t>(ctx);
+      uint32_t choice = drawcol[i] >= tb->qratio[p] ? 1u : 0u;
+      uint64_t pc = p * 2 + choice;
+      uint8_t d = dcol[i];
+      uint8_t qv = tb->qv_map[pc * A + d];
+      mcol[i] = static_cast<uint32_t>(1 + pc);
+      xcol[i] = tb->qs_map[pc * A + d];
+      if (dist) total_d += dist[static_cast<uint32_t>(d) * A + qv];
+      if (rcol) rcol[i] = qv;
+      prev_qv[i] = qv;
+    }
+  }
+  if (distortion_out) *distortion_out = total_d / columns;
+}
+
 // Column-major entropy coding from PRECOMPUTED per-symbol (model id,
 // symbol index) streams — the back half of the device-quantization
 // production path: the accelerator runs the batched quantize+dither scan

@@ -338,6 +338,36 @@ def encode_fused_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
         cap = -r + 4096
 
 
+def quantize_colmajor(tables: Tables, data_t: np.ndarray, cluster_ids,
+                      well_state_words, dist: np.ndarray | None = None,
+                      want_recon: bool = False):
+    """Column-major quantization only (no coder state): returns
+    (model_t u32 (cols,n), qs_t u8 (cols,n), recon (n,cols) or None,
+    dist_sum). Same decisions as encode_fused_colmajor; feed the
+    outputs to encode_precomputed_colmajor."""
+    lib = native.load()
+    cols, n = data_t.shape
+    data_t = np.ascontiguousarray(data_t, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    st = np.ascontiguousarray(well_state_words, dtype=np.uint32)
+    d = (np.ascontiguousarray(dist, dtype=np.float64)
+         if dist is not None else None)
+    recon_t = np.empty((cols, n), dtype=np.uint8) if want_recon else None
+    model_t = np.empty((cols, n), dtype=np.uint32)
+    qs_t = np.empty((cols, n), dtype=np.uint8)
+    dsum = ctypes.c_double(0.0)
+    lib.qvz_quantize_colmajor(
+        tables._h, _ptr(data_t, _u8p), n,
+        _ptr(cl, _u8p) if cl is not None else None,
+        _ptr(st, _u32p),
+        _ptr(d, _dp) if d is not None else None,
+        _ptr(recon_t, _u8p) if recon_t is not None else None,
+        ctypes.byref(dsum), _ptr(model_t, _u32p), _ptr(qs_t, _u8p))
+    recon = recon_t.T.copy() if recon_t is not None else None
+    return model_t, qs_t, recon, dsum.value
+
+
 def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
                                 qs_t: np.ndarray, cluster_ids,
                                 n_lines: int,

@@ -197,7 +197,7 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
     if shards == 0:
         shards = max(n_hosts, (os.cpu_count() or 1))
     from qvz_tpu.pipeline.encode import PRIME_WARMUP_LINES
-    warmup = min(PRIME_WARMUP_LINES, max(4096, n // 12)) if prime else 0
+    warmup = min(PRIME_WARMUP_LINES, max(8192, n // 12)) if prime else 0
     prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
     counts = _shard_plan(n, columns, shards,
                          warmup=warmup if prime_on else 0)

@@ -253,7 +253,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
         # Adaptive warmup: an eighth of the file, capped — rate overhead
         # vs v1 measured at 500k x 100 / 4 shards: unprimed +0.69%,
         # 32k warmup +0.10%, 64k +0.06% (the <0.1% target).
-        warmup = min(PRIME_WARMUP_LINES, max(4096, n // 12)) if prime else 0
+        warmup = min(PRIME_WARMUP_LINES, max(8192, n // 12)) if prime else 0
         prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
         counts = _shard_plan(n, columns, shards,
                              warmup=warmup if prime_on else 0)
@@ -326,6 +326,13 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
                 dist_matrix[data.reshape(-1),
                             qv_t.T.reshape(-1)].sum()) / columns
             recon = qv_t.T.copy() if want_recon else None
+        # (A split-pass host flow — parallel quantize_colmajor for every
+        # shard, then coding from precomputed pairs — was measured at
+        # parity or slightly WORSE than the fused pass here: the coding
+        # loop alone runs 1.6x faster, but total work is unchanged and
+        # the 5 B/symbol intermediates eat shared memory bandwidth on a
+        # 4-core host. The fused flow stays; rt.quantize_colmajor
+        # remains available as the host analog of the device quantize.)
         else:
             def run(s, init_bank=None, want_bank=False):
                 lo, hi = offs[s], offs[s + 1]
