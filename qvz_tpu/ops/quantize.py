@@ -13,6 +13,8 @@ so results are bit-identical to the host path.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import jax
@@ -50,27 +52,151 @@ def _quantize_device(data_t, draws_t, cluster_base, columns,
     return model_ids, qs, qv
 
 
+@partial(jax.jit, static_argnames=("columns", "n_clusters"))
+def _quantize_device_mxu(data_t, draws_t, cluster, columns, n_clusters,
+                         ctx_cols, qr_cols, qv_cols, qs_cols, const_cols):
+    """MXU formulation of the quantize scan: every table lookup is a
+    one-hot matmul against a small per-column table instead of a gather
+    from the flat global tables. All table values are < 256, so bf16
+    one-hot x bf16 table with f32 accumulation is EXACT (integers <= 256
+    are representable in bf16) and the results are bit-identical to the
+    gather path and the host.
+
+    MEASURED OUTCOME (v5e, 1M x 100, steady state): this variant runs
+    ~136 ms — consistent with its one-hot HBM traffic (~70 GB at ~820
+    GB/s) — while the gather variant completes in well under 10 ms: XLA
+    TPU lowers these small-table gathers efficiently, so the one-hot
+    rewrite is NOT a win and the gather variant stays the default on
+    every backend. Kept because it is the fallback if a future XLA
+    regression pessimizes gathers (QVZ_TPU_QUANTIZE_MXU=1), and the
+    per-column table prep (_column_tables) is reused elsewhere.
+
+    data_t/draws_t: (cols, N) int32; cluster: (N,) int32.
+    ctx_cols: (cols, C*72) ctx of (cluster, prev); qr_cols: (cols, C*72)
+    qratio by (cluster, prev); qv_cols/qs_cols: (cols, C*144, 72) maps
+    by (cluster, 2*ctx+choice, symbol); const_cols: (cols, C) = 1+2*pb.
+    Returns (model_ids, qs, qv) each (cols, N) int32."""
+    C72 = n_clusters * 72
+    C144 = n_clusters * 144
+    bf = jnp.bfloat16
+
+    def step(prev, xs):
+        data_col, draw_col, ctx_c, qr_c, qv_c, qs_c, const_c = xs
+        j = cluster * 72 + prev
+        oh_j = (j[:, None] == jnp.arange(C72, dtype=jnp.int32)[None, :]
+                ).astype(bf)
+        ctx = jax.lax.dot_general(
+            oh_j, ctx_c.astype(bf)[:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+        qr = jax.lax.dot_general(
+            oh_j, qr_c.astype(bf)[:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0].astype(jnp.int32)
+        choice = (draw_col >= qr).astype(jnp.int32)
+        rw = ctx * 2 + choice
+        row = cluster * 144 + rw
+        oh_row = (row[:, None] == jnp.arange(C144, dtype=jnp.int32)[None, :]
+                  ).astype(bf)
+        a_qv = jax.lax.dot_general(
+            oh_row, qv_c.astype(bf), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a_qs = jax.lax.dot_general(
+            oh_row, qs_c.astype(bf), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        oh_d = (data_col[:, None] == jnp.arange(72, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+        qv = jnp.sum(a_qv * oh_d, axis=-1).astype(jnp.int32)
+        qs = jnp.sum(a_qs * oh_d, axis=-1).astype(jnp.int32)
+        # model id = 1 + 2*pair_base + 2*ctx + choice
+        cst = jnp.take(const_c, cluster)
+        model_id = cst + rw
+        return qv, (model_id, qs, qv)
+
+    prev0 = jnp.zeros_like(data_t[0])
+    _, (model_ids, qs, qv) = jax.lax.scan(
+        step, prev0, (data_t, draws_t, ctx_cols, qr_cols, qv_cols,
+                      qs_cols, const_cols))
+    return model_ids, qs, qv
+
+
+def _column_tables(tables, n_clusters: int):
+    """Host-side prep of the per-column tables for the MXU variant."""
+    A_ = ALPHABET_SIZE
+    cols = tables.columns
+    pb = np.asarray(tables.pair_base).reshape(n_clusters, cols)
+    ctxmap = np.asarray(tables.ctxmap).reshape(n_clusters, cols, A_)
+    qratio = np.asarray(tables.qratio)
+    qv_map = np.asarray(tables.qv_map)  # (n_pairs*2, 72)
+    qs_map = np.asarray(tables.qs_map)
+
+    ctx_cl = np.clip(ctxmap, 0, None)  # -1 (unreachable prev) -> 0
+    # ctx of (col, cluster, prev) and qratio by (col, cluster, prev)
+    ctx_cols = ctx_cl.transpose(1, 0, 2).reshape(cols, n_clusters * A_)
+    p_of_prev = pb[:, :, None] + ctx_cl  # (C, cols, 72) pair index
+    qr_cols = qratio[p_of_prev].transpose(1, 0, 2).reshape(
+        cols, n_clusters * A_)
+
+    # (col, cluster, 2*ctx+choice, symbol) quantizer output/state maps
+    n_ctx = np.diff(np.append(pb.reshape(-1),
+                              tables.n_pairs)).reshape(n_clusters, cols)
+    qv_cols = np.zeros((cols, n_clusters, 144, A_), dtype=np.float32)
+    qs_cols = np.zeros((cols, n_clusters, 144, A_), dtype=np.float32)
+    for cl in range(n_clusters):
+        for col in range(cols):
+            k = int(n_ctx[cl, col])
+            base = int(pb[cl, col]) * 2
+            qv_cols[col, cl, :2 * k] = qv_map[base:base + 2 * k]
+            qs_cols[col, cl, :2 * k] = qs_map[base:base + 2 * k]
+    qv_cols = qv_cols.reshape(cols, n_clusters * 144, A_)
+    qs_cols = qs_cols.reshape(cols, n_clusters * 144, A_)
+    const_cols = (1 + 2 * pb.T).astype(np.int32)  # (cols, C)
+    return (ctx_cols.astype(np.int32), qr_cols.astype(np.int32),
+            qv_cols, qs_cols, const_cols)
+
+
+def _use_mxu_variant() -> bool:
+    # gather wins on every measured backend; MXU variant is env opt-in
+    return os.environ.get("QVZ_TPU_QUANTIZE_MXU") == "1"
+
+
 def quantize_t(tables, data: np.ndarray, cluster_ids, draws):
     """Device quantization returning COLUMN-MAJOR (cols, N) numpy arrays
     (model_t uint32, qs_t uint8, qv_t uint8) — the layout the QVZ2
-    shard coders consume, so no host-side re-transpose is needed."""
-    n, cols = data.shape
-    if cluster_ids is None:
-        cluster_base = jnp.zeros(n, dtype=jnp.int32)
-    else:
-        cluster_base = jnp.asarray(cluster_ids, dtype=jnp.int32) * cols
+    shard coders consume, so no host-side re-transpose is needed.
 
+    Two bit-identical formulations: the gather variant (default — XLA
+    TPU lowers these small-table gathers well, measured faster than the
+    one-hot rewrite at 1M x 100 on a v5e) and the one-hot-matmul MXU
+    variant (QVZ_TPU_QUANTIZE_MXU=1 fallback)."""
+    n, cols = data.shape
     data_t = jnp.asarray(np.ascontiguousarray(data.T), dtype=jnp.int32)
     draws_t = jnp.asarray(np.ascontiguousarray(draws.T), dtype=jnp.int32)
-    ctxmap = jnp.asarray(tables.ctxmap.reshape(-1), dtype=jnp.int32)
-    pair_base = jnp.asarray(tables.pair_base, dtype=jnp.int32)
-    qratio = jnp.asarray(tables.qratio, dtype=jnp.int32)
-    qv_flat = jnp.asarray(tables.qv_map.reshape(-1), dtype=jnp.int32)
-    qs_flat = jnp.asarray(tables.qs_map.reshape(-1), dtype=jnp.int32)
 
-    model_ids, qs, qv = _quantize_device(
-        data_t, draws_t, cluster_base, cols, ctxmap, pair_base, qratio,
-        qv_flat, qs_flat)
+    if _use_mxu_variant():
+        n_clusters = tables.n_clusters
+        cached = getattr(tables, "_mxu_cols", None)
+        if cached is None:
+            cached = _column_tables(tables, n_clusters)
+            tables._mxu_cols = cached
+        ctx_c, qr_c, qv_c, qs_c, const_c = cached
+        cluster = (jnp.zeros(n, dtype=jnp.int32) if cluster_ids is None
+                   else jnp.asarray(cluster_ids, dtype=jnp.int32))
+        model_ids, qs, qv = _quantize_device_mxu(
+            data_t, draws_t, cluster, cols, n_clusters,
+            jnp.asarray(ctx_c), jnp.asarray(qr_c), jnp.asarray(qv_c),
+            jnp.asarray(qs_c), jnp.asarray(const_c))
+    else:
+        if cluster_ids is None:
+            cluster_base = jnp.zeros(n, dtype=jnp.int32)
+        else:
+            cluster_base = jnp.asarray(cluster_ids, dtype=jnp.int32) * cols
+        ctxmap = jnp.asarray(tables.ctxmap.reshape(-1), dtype=jnp.int32)
+        pair_base = jnp.asarray(tables.pair_base, dtype=jnp.int32)
+        qratio = jnp.asarray(tables.qratio, dtype=jnp.int32)
+        qv_flat = jnp.asarray(tables.qv_map.reshape(-1), dtype=jnp.int32)
+        qs_flat = jnp.asarray(tables.qs_map.reshape(-1), dtype=jnp.int32)
+        model_ids, qs, qv = _quantize_device(
+            data_t, draws_t, cluster_base, cols, ctxmap, pair_base,
+            qratio, qv_flat, qs_flat)
     return (np.asarray(model_ids, dtype=np.uint32),
             np.asarray(qs, dtype=np.uint8),
             np.asarray(qv, dtype=np.uint8))

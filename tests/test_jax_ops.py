@@ -78,3 +78,43 @@ def test_full_pipeline_jax_bit_exact(golden_dir, small):
                          use_jax=True)
     golden = (golden_dir / "c3_f05.q").read_bytes()
     assert out.compressed == golden
+
+
+def test_quantize_mxu_variant_bit_identical():
+    """The one-hot-matmul quantize formulation must match the gather
+    variant and the host exactly (all table values < 256 => bf16 one-hot
+    matmuls are exact)."""
+    import numpy as np
+
+    from qvz_tpu.constants import DISTORTION_MSE, MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize as q
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+
+    rng = np.random.default_rng(13)
+    n, cols = 3000, 32
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    for k in (1, 3):
+        cl = (np.arange(n) % k).astype(np.uint8) if k > 1 else None
+        c0, cond = rt.stats_host(data, cl, k)
+        d = rt.Design(c0, cond, MODE_RATIO, 0.5,
+                      make_matrix(DISTORTION_MSE))
+        t = d.tables()
+        order = [(0 + i) & 31 for i in range(32)]
+        sw = np.asarray(WellState.debug().state, dtype=np.uint32)[order]
+        draws = rt.well_draws7(sw, n * cols).reshape(n, cols)
+        m_ref, s_ref, r_ref = rt.quantize(t, data, cl, draws,
+                                          want_recon=True)
+        import os
+        os.environ["QVZ_TPU_QUANTIZE_MXU"] = "1"
+        try:
+            mt, st, qt = q.quantize_t(t, data, cl, draws)
+        finally:
+            del os.environ["QVZ_TPU_QUANTIZE_MXU"]
+        assert np.array_equal(mt.T, m_ref)
+        assert np.array_equal(st.T, s_ref)
+        assert np.array_equal(qt.T, r_ref)
