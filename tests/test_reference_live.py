@@ -45,6 +45,12 @@ CONFIGS = [
     (["-f", "0.37", "-c", "1", "-d", "M"], 1500, 63, 101),
     (["-r", "1.3", "-c", "2", "-d", "L"], 900, 41, 202),
     (["-f", "0.8", "-c", "4", "-d", "A", "-T", "2"], 1200, 30, 303),
+    # round-2 additions: more mode/space coverage
+    (["-r", "0.15", "-c", "1", "-d", "A"], 2000, 24, 404),   # very low fixed rate
+    (["-r", "3.7", "-c", "2", "-d", "M", "-T", "1"], 700, 33, 505),  # high fixed rate
+    (["-f", "0.05", "-c", "3", "-d", "L"], 1100, 47, 606),   # near-zero ratio
+    (["-f", "0.95", "-c", "1", "-d", "M"], 800, 52, 707),    # near-max ratio
+    (["-f", "0.6", "-c", "5", "-d", "A", "-T", "8"], 1500, 28, 808),  # max rec. clusters, loose T
 ]
 
 
@@ -106,6 +112,65 @@ def test_random_config_bit_parity(ref_bin, tmp_path, flags, n, cols, seed):
     assert subprocess.run([str(ref_bin), "-x", str(our_q),
                            str(cross)]).returncode == 0
     assert cross.read_bytes() == ref_dec.read_bytes()
+
+
+def synth_skewed(path, n, cols, seed, kind):
+    """Pathological data shapes the Illumina-like generator misses."""
+    rng = np.random.default_rng(seed)
+    if kind == "constant":
+        q = np.full((n, cols), 38, dtype=np.uint8)
+        q[n // 3] = 2  # one outlier line
+    elif kind == "bimodal":
+        lo = rng.integers(0, 6, size=(n, cols))
+        hi = rng.integers(60, 72, size=(n, cols))
+        pick = rng.random((n, 1)) < 0.5
+        q = np.where(pick, lo, hi).astype(np.uint8)
+    elif kind == "saturated":
+        q = np.clip(rng.integers(66, 80, size=(n, cols)), 0,
+                    71).astype(np.uint8)
+    else:  # full-alphabet uniform noise
+        q = rng.integers(0, 72, size=(n, cols)).astype(np.uint8)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = q + 33
+    out[:, cols] = 10
+    path.write_bytes(out.tobytes())
+
+
+@pytest.mark.parametrize("kind", ["constant", "bimodal", "saturated",
+                                  "uniform"])
+def test_pathological_data_bit_parity(ref_bin, tmp_path, kind):
+    """Degenerate statistics (constant columns, bimodal mixtures,
+    saturated alphabet edges, full-entropy noise) stress the design
+    phase's tie-breaks; containers must stay byte-equal."""
+    from qvz_tpu import cli
+
+    inp = tmp_path / "in.qual"
+    synth_skewed(inp, 900, 35, 99, kind)
+    ref_q, our_q = tmp_path / "ref.q", tmp_path / "our.q"
+    r = subprocess.run([str(ref_bin), "-f", "0.5", "-c", "2", "-s",
+                        str(inp), str(ref_q)], capture_output=True)
+    if r.returncode != 0:
+        # Documented reference crash class (DESIGN.md): k-means on
+        # near-constant data empties a cluster and the reference
+        # divides by zero (SIGFPE, cluster.c:113). OUR encoder must
+        # handle the same input gracefully with a valid round-trip.
+        assert kind == "constant" and r.returncode == -8, (kind, r)
+        our_u = tmp_path / "our.u"
+        assert cli.main(["qvz", "-f", "0.5", "-c", "2", "--debug-seed",
+                         "--no-jax", "-u", str(our_u), str(inp),
+                         str(our_q)]) == 0
+        our_dec = tmp_path / "our.dec"
+        assert cli.main(["qvz", "-x", str(our_q), str(our_dec)]) == 0
+        assert our_dec.read_bytes() == our_u.read_bytes()
+        return
+    assert cli.main(["qvz", "-f", "0.5", "-c", "2", "--debug-seed",
+                     "--no-jax", str(inp), str(our_q)]) == 0
+    assert our_q.read_bytes() == ref_q.read_bytes(), kind
+    ref_dec, our_dec = tmp_path / "ref.dec", tmp_path / "our.dec"
+    assert subprocess.run([str(ref_bin), "-x", str(ref_q),
+                           str(ref_dec)]).returncode == 0
+    assert cli.main(["qvz", "-x", str(our_q), str(our_dec)]) == 0
+    assert our_dec.read_bytes() == ref_dec.read_bytes()
 
 
 @pytest.mark.parametrize("n,cols", [(50, 1), (30, 1022), (1, 20), (2, 5)])
