@@ -46,12 +46,14 @@ def compress_bytes(data: bytes, *, mode: int = MODE_RATIO,
                    shards: int = 1,
                    well_seed: bytes | None = None,
                    debug_seed: bool = False,
-                   use_jax: bool | str = "auto"):
+                   use_jax: bool | str = "auto",
+                   prime: bool = True):
     """Compress raw quality-file bytes. Returns (container bytes, stats).
 
     shards=1 emits the reference-compatible v1 container; shards>1 (or 0
     for one per CPU) emits the parallel QVZ2 container with identical
-    reconstruction.
+    reconstruction (primed by default: near-v1 rate; prime=False keeps
+    shards independently decodable).
     """
     from qvz_tpu.pipeline import encode as enc_mod
     from qvz_tpu.spec.pipeline import load_quality_file
@@ -61,7 +63,8 @@ def compress_bytes(data: bytes, *, mode: int = MODE_RATIO,
     out = enc_mod.encode(arr, dist, n_clusters=clusters, mode=mode,
                          ratio=ratio, cluster_threshold=cluster_threshold,
                          well_state=_well(well_seed, debug_seed),
-                         use_jax=use_jax, shards=shards, want_recon=False)
+                         use_jax=use_jax, shards=shards, want_recon=False,
+                         prime=prime)
     return out.compressed, out.stats
 
 
@@ -72,7 +75,28 @@ def decompress_bytes(container: bytes) -> bytes:
 
 
 def compress(input_path: str, output_path: str, **kwargs):
-    """File-to-file compression; kwargs as compress_bytes. Returns stats."""
+    """File-to-file compression; kwargs as compress_bytes plus
+    hosts=N for the multi-host driver (byte-identical container).
+    Returns stats."""
+    hosts = kwargs.pop("hosts", 1)
+    if hosts > 1:
+        from qvz_tpu.parallel.multihost import encode_multihost
+        compressed, mh = encode_multihost(
+            input_path, n_hosts=hosts,
+            shards=kwargs.pop("shards", 0) or 0,
+            n_clusters=kwargs.pop("clusters", 1),
+            mode=kwargs.pop("mode", MODE_RATIO),
+            ratio=kwargs.pop("ratio", 0.5),
+            cluster_threshold=kwargs.pop("cluster_threshold", 4.0),
+            well_state=_well(kwargs.pop("well_seed", None),
+                             kwargs.pop("debug_seed", False)),
+            dist_matrix=make_matrix(
+                kwargs.pop("distortion", DISTORTION_MSE),
+                path=kwargs.pop("distortion_file", None)),
+            prime=kwargs.pop("prime", True))
+        with open(output_path, "wb") as f:
+            f.write(compressed)
+        return mh
     from qvz_tpu.pipeline import encode as enc_mod
     from qvz_tpu.spec.pipeline import load_quality_file
 
