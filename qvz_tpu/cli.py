@@ -58,8 +58,8 @@ def usage(name: str) -> None:
     print("                  a jax.profiler trace) to directory D")
     print("   --shards N   : Encode a sharded QVZ2 container with N parallel streams")
     print("                  (0 = one per CPU; default 1 = reference-compatible v1)")
-    print("   --hosts N    : Encode across N worker processes (multi-host driver;")
-    print("                  container is byte-identical to --hosts 1)")
+    print("   --hosts N    : Encode (or decode a QVZ2 container) across N worker")
+    print("                  processes; output byte-identical to --hosts 1")
     print("   --no-prime   : Disable QVZ2 shard priming (priming: shards start")
     print("                  from the warmup shard's model state; ~0.06% rate")
     print("                  overhead vs v1 instead of ~0.7%)")
@@ -216,8 +216,21 @@ def _parse_and_dispatch(argv, name, opts, i) -> int:
 
 def _run(opts, extract, input_name, output_name) -> int:
     if extract:
-        from qvz_tpu.pipeline import decode as dec_mod
         t0 = time.perf_counter()
+        if opts.get("hosts", 1) > 1:
+            from qvz_tpu.format import container_v2
+            with open(input_name, "rb") as f:
+                magic = f.read(4)
+            if container_v2.is_v2(magic):
+                from qvz_tpu.parallel.multihost import decode_multihost
+                n = decode_multihost(input_name, output_name,
+                                     n_hosts=opts["hosts"])
+                if opts["verbose"]:
+                    print(f"Decoded {n} lines on {opts['hosts']} hosts "
+                          f"in {time.perf_counter() - t0:.4f} seconds.")
+                return 0
+            # v1 containers are a single sequential stream: fall through
+        from qvz_tpu.pipeline import decode as dec_mod
         compressed = open(input_name, "rb").read()
         n = dec_mod.decode_to_file(compressed, output_name)
         if opts["verbose"]:

@@ -154,6 +154,54 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
             return
 
 
+def _decode_worker_main(port: int, container_path: str, out_path: str
+                        ) -> None:
+    """Subprocess entry for distributed decode: serve one batch of
+    shards, pwriting decoded text into the (pre-sized) output file."""
+    from multiprocessing.connection import Client
+
+    import numpy as np
+
+    from qvz_tpu.native import runtime as rt
+
+    authkey = bytes.fromhex(os.environ["QVZ_MH_AUTHKEY"])
+    conn = Client(("127.0.0.1", port), authkey=authkey)
+    comp = np.memmap(container_path, dtype=np.uint8, mode="r")
+    while True:
+        msg = conn.recv()
+        if msg[0] == "decode":
+            (blocks, n_clusters, columns, metas, line_offs, bank) = msg[1:]
+            from concurrent.futures import ThreadPoolExecutor
+
+            tables = rt.tables_from_blocks(blocks, n_clusters, columns)
+            fd = os.open(out_path, os.O_WRONLY)
+
+            def run(i):
+                off, plen, nl, well, ck = metas[i]
+                payload = bytes(comp[off:off + plen])
+                if rt.xxh64(payload) != ck:
+                    raise ValueError(f"shard checksum mismatch at {off}")
+                out = rt.decode_colmajor(
+                    tables, payload, nl,
+                    np.frombuffer(well, dtype="<u4"),
+                    init_bank=bank)
+                os.pwrite(fd, out.tobytes(),
+                          line_offs[i] * (columns + 1))
+                return nl
+
+            try:
+                with ThreadPoolExecutor(
+                        max_workers=min(len(metas),
+                                        os.cpu_count() or 1)) as ex:
+                    done = list(ex.map(run, range(len(metas))))
+                conn.send(("ok", int(sum(done))))
+            finally:
+                os.close(fd)
+        elif msg[0] == "quit":
+            conn.send(("bye",))
+            return
+
+
 # ---------------------------------------------------------------------------
 # Coordinator.
 
@@ -356,3 +404,113 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                 p.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 p.kill()
+
+
+def decode_multihost(container_path: str, out_path: str, *,
+                     n_hosts: int) -> int:
+    """Distributed decode: N worker processes decode contiguous shard
+    ranges of a QVZ2 container, each pwriting its slice of the output
+    file. Byte-identical to the single-process decode. Returns lines.
+
+    With priming, the coordinator decodes the warmup shard first (the
+    serial stage) and broadcasts the captured bank to all workers."""
+    from multiprocessing.connection import Listener
+
+    import numpy as np
+
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    comp = np.memmap(container_path, dtype=np.uint8, mode="r")
+    head_bytes = bytes(comp[:1 << 20]) if comp.size > (1 << 20) else \
+        bytes(comp)
+    if not container_v2.is_v2(head_bytes):
+        raise ValueError("decode_multihost requires a QVZ2 container")
+    head = container_v2.parse(head_bytes, blocks_len=None)
+    tables = rt.tables_from_blocks(
+        head_bytes[container_v2.header_size():], head.cluster_count,
+        head.columns)
+    # directory fits comfortably in the first MB for any sane shard
+    # count; re-read with the full buffer if not
+    try:
+        head = container_v2.parse(head_bytes, blocks_len=tables.consumed)
+    except ValueError:
+        head = container_v2.parse(bytes(comp), blocks_len=tables.consumed)
+    cols = head.columns
+    n = head.lines
+
+    # pre-size the output file
+    with open(out_path, "wb") as f:
+        f.truncate(n * (cols + 1))
+
+    line_offs = np.concatenate(
+        [[0], np.cumsum([s.lines for s in head.shards])]).astype(np.int64)
+    blocks = bytes(head.blocks)
+
+    bank = None
+    first = 0
+    if head.priming and len(head.shards) > 1:
+        s0 = head.shards[0]
+        payload = bytes(comp[s0.payload_off:s0.payload_off
+                             + s0.payload_len])
+        if rt.xxh64(payload) != s0.checksum:
+            raise ValueError("warmup shard checksum mismatch")
+        out0, bank = rt.decode_colmajor(
+            tables, payload, s0.lines,
+            np.frombuffer(s0.well_state, dtype="<u4"), want_bank=True)
+        with open(out_path, "r+b") as f:
+            f.write(out0.tobytes())
+        first = 1
+
+    todo = list(range(first, len(head.shards)))
+    n_hosts = max(1, min(n_hosts, len(todo) or 1))
+    if todo:
+        authkey = os.urandom(16)
+        listener = Listener(("127.0.0.1", 0), authkey=authkey)
+        port = listener.address[1]
+        env = dict(os.environ)
+        env["QVZ_MH_AUTHKEY"] = authkey.hex()
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get(
+            "PYTHONPATH", "")
+        conns, procs = [], []
+        ranges = [todo[h * len(todo) // n_hosts:
+                       (h + 1) * len(todo) // n_hosts]
+                  for h in range(n_hosts)]
+        try:
+            for h in range(n_hosts):
+                code = ("from qvz_tpu.parallel.multihost import "
+                        "_decode_worker_main; _decode_worker_main("
+                        f"{port}, {container_path!r}, {out_path!r})")
+                procs.append(subprocess.Popen(
+                    [sys.executable, "-c", code], env=env))
+                conns.append(listener.accept())
+            for h, idxs in enumerate(ranges):
+                metas = [(head.shards[i].payload_off,
+                          head.shards[i].payload_len,
+                          head.shards[i].lines,
+                          head.shards[i].well_state,
+                          head.shards[i].checksum) for i in idxs]
+                conns[h].send(("decode", blocks, head.cluster_count,
+                               cols, metas,
+                               [int(line_offs[i]) for i in idxs], bank))
+            total = 0
+            for c in conns:
+                status, nl = c.recv()
+                assert status == "ok"
+                total += nl
+        finally:
+            for c in conns:
+                try:
+                    c.send(("quit",))
+                    c.recv()
+                except Exception:
+                    pass
+            listener.close()
+            for p in procs:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+    return n

@@ -62,3 +62,25 @@ def test_multihost_decode_roundtrip(qfile):
                          shards=5, want_recon=True)
     out = dec_mod.decode(multi)
     assert np.array_equal(out[:, :data.shape[1]], ref.reconstructed + 33)
+
+
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_multihost_decode_byte_equal(qfile, tmp_path, n_hosts):
+    """Distributed decode: N processes pwriting slices must reproduce
+    the single-process decode byte-for-byte (primed container)."""
+    from qvz_tpu.parallel.multihost import decode_multihost
+    from qvz_tpu.spec.pipeline import lines_to_bytes
+
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    out = enc_mod.encode(data, dist, n_clusters=2, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=5, want_recon=False)
+    cpath = tmp_path / "c.q"
+    cpath.write_bytes(out.compressed)
+    single = dec_mod.decode(out.compressed)
+
+    opath = tmp_path / f"mh{n_hosts}.dec"
+    nl = decode_multihost(str(cpath), str(opath), n_hosts=n_hosts)
+    assert nl == data.shape[0]
+    assert opath.read_bytes() == single.tobytes()
