@@ -63,6 +63,9 @@ def usage(name: str) -> None:
     print("   --no-prime   : Disable QVZ2 shard priming (priming: shards start")
     print("                  from the warmup shard's model state; ~0.06% rate")
     print("                  overhead vs v1 instead of ~0.7%)")
+    print("   --streaming  : Bounded-memory encode (chunked stats, shard-wave")
+    print("                  coding, streamed container writes; auto above")
+    print("                  QVZ_TPU_STREAM_MIN_BYTES, default 1 GiB)")
 
 
 def _make_well(opts) -> WellState:
@@ -86,7 +89,7 @@ def main(argv=None) -> int:
         "mode": MODE_RATIO, "cluster_threshold": 4.0, "dist_file": None,
         "debug_seed": False, "well_state_file": None, "use_jax": "auto",
         "shards": 1, "profile_dir": None, "reuse_books": None,
-        "hosts": 1, "prime": True,
+        "hosts": 1, "prime": True, "streaming": False,
     }
     i = 1
     try:
@@ -180,6 +183,9 @@ def _parse_and_dispatch(argv, name, opts, i) -> int:
         elif a == "--no-prime":
             opts["prime"] = False
             i += 1
+        elif a == "--streaming":
+            opts["streaming"] = True
+            i += 1
         elif a == "-h":
             usage(name)
             return 0
@@ -243,6 +249,35 @@ def _run(opts, extract, input_name, output_name) -> int:
 
     t0 = time.perf_counter()
     dist = make_matrix(opts["distortion"], path=opts["dist_file"])
+
+    stream_min = int(os.environ.get("QVZ_TPU_STREAM_MIN_BYTES",
+                                    1 * 2**30))
+    if (opts.get("streaming")
+            or os.path.getsize(input_name) >= stream_min) \
+            and opts.get("hosts", 1) == 1:
+        # Bounded-memory streaming encode (QVZ2 only).
+        if opts.get("reuse_books") or opts.get("uncompressed"):
+            raise ValueError(
+                "--streaming does not support --reuse-books or -u")
+        from qvz_tpu.pipeline.streaming import encode_streaming
+        st = encode_streaming(
+            input_name, output_name, n_clusters=opts["clusters"],
+            mode=opts["mode"], ratio=opts["ratio"],
+            cluster_threshold=opts["cluster_threshold"],
+            well_state=_make_well(opts), dist_matrix=dist,
+            shards=opts["shards"] if opts["shards"] != 1 else 0,
+            prime=opts["prime"])
+        elapsed = time.perf_counter() - t0
+        if opts["verbose"]:
+            print(f"Streaming encode: {st['shards']} shards, "
+                  f"{st['lines']} lines.")
+            for k in ("cluster_s", "stats_s", "design_s", "code_s"):
+                print(f"  {k[:-2]}: {st[k]:.4f}s")
+        if opts["stats"]:
+            print(f"rate, {st['rate']:.4f}, distortion, "
+                  f"{st['distortion']:.4f}, time, {elapsed:.4f}, size, "
+                  f"{st['payload_bytes']} ")
+        return 0
 
     if opts.get("hosts", 1) > 1:
         # Multi-host driver: N worker processes over contiguous read

@@ -236,16 +236,25 @@ def kmeans_iter(data: np.ndarray, means: np.ndarray):
 
 
 def stats_host(data: np.ndarray, clusters: np.ndarray | None,
-               n_clusters: int):
+               n_clusters: int, accumulate=None):
     """Single-pass C++ conditional histogram (codebook.c:185-203).
 
     API-compatible with qvz_tpu.spec.stats.conditional_counts.
-    """
+    accumulate: optional (counts0 u64, cond u64) arrays to ADD into
+    (streaming chunked statistics); returned dtype then stays uint64."""
     lib = native.load()
     n, cols = data.shape
     data = np.ascontiguousarray(data, dtype=np.uint8)
     cl = (np.ascontiguousarray(clusters, dtype=np.uint8)
           if clusters is not None else None)
+    if accumulate is not None:
+        counts0, cond = accumulate
+        assert counts0.dtype == np.uint64 and cond.dtype == np.uint64
+        assert counts0.flags["C_CONTIGUOUS"] and cond.flags["C_CONTIGUOUS"]
+        lib.qvz_stats(_ptr(data, _u8p), n, cols,
+                      _ptr(cl, _u8p) if cl is not None else None,
+                      _ptr(counts0, _u64p), _ptr(cond, _u64p))
+        return counts0, cond
     counts0 = np.zeros((n_clusters, ALPHABET_SIZE), dtype=np.uint64)
     cond = np.zeros((n_clusters, cols - 1, ALPHABET_SIZE, ALPHABET_SIZE),
                     dtype=np.uint64)

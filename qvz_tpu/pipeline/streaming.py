@@ -1,0 +1,281 @@
+"""Bounded-memory streaming encode for beyond-RAM corpora.
+
+The in-memory pipeline (pipeline/encode.py) materializes the full
+(N, cols) symbol array — fine to a few GB, impossible for the
+whole-genome-scale configs (BASELINE.json: 100M+ reads). This driver
+keeps peak memory at O(chunk + workers * shard):
+
+  1. statistics: one sequential pass over the np.memmap in chunks,
+     accumulating the exact integer histograms in place (the OS streams
+     pages; fadvise marks them sequential)
+  2. k-means (optional): per-iteration chunked passes with the same
+     integer accumulator merges as every other path — bit-identical
+     assignments, stored as one uint8 per read
+  3. design: unchanged (independent of line count)
+  4. coding: shards stream through a bounded worker pool; each worker
+     slices its shard from the memmap, strips the Phred offset, codes
+     it, and hands the payload to a sequential container writer that
+     appends payloads IN SHARD ORDER as they complete (out-of-order
+     completions are buffered, bounded by the worker count) and
+     backpatches the shard directory at the end
+  5. the container is byte-identical to the in-memory encode for the
+     same shard plan (tests/test_streaming.py)
+
+Reference context: the reference mmaps the whole file (lines.c:64) and
+is single-threaded, so its peak RSS is the file size; this driver's is
+the chunk size.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from qvz_tpu.constants import ALPHABET_SIZE, MODE_RATIO, PHRED_OFFSET
+from qvz_tpu.format import container_v2
+from qvz_tpu.native import runtime as rt
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline.encode import PRIME_WARMUP_LINES, _shard_plan
+
+A = ALPHABET_SIZE
+
+
+def _geometry(path: str):
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        first = f.readline()
+    columns = len(first) - 1
+    if columns <= 0:
+        raise ValueError("empty or malformed quality file")
+    return size // (columns + 1), columns
+
+
+def _rows(mm: np.ndarray, columns: int, lo: int, hi: int) -> np.ndarray:
+    """Materialize rows [lo, hi) as 0-based symbols (one chunk copy)."""
+    return np.ascontiguousarray(
+        mm.reshape(-1, columns + 1)[lo:hi, :columns] - PHRED_OFFSET)
+
+
+def _rows_t(mm: np.ndarray, columns: int, lo: int, hi: int) -> np.ndarray:
+    """Rows [lo, hi) as a (cols, n) column-major symbol buffer — ONE
+    shard-sized allocation (transpose + Phred strip in place)."""
+    dt = np.ascontiguousarray(
+        mm.reshape(-1, columns + 1)[lo:hi, :columns].T)
+    dt -= PHRED_OFFSET  # uint8 wrap semantics, as everywhere
+    return dt
+
+
+def _drop_pages(mm: np.ndarray, columns: int, lo: int, hi: int) -> None:
+    """Release the page-cache pages backing rows [lo, hi): keeps the
+    streaming pass's resident set at O(chunk) instead of O(file)."""
+    try:
+        raw = mm._mmap  # np.memmap's underlying mmap object
+        page = 4096
+        start = (lo * (columns + 1)) // page * page
+        end = hi * (columns + 1) // page * page
+        if end > start:
+            raw.madvise(getattr(__import__("mmap"), "MADV_DONTNEED"),
+                        start, end - start)
+    except (AttributeError, ValueError, OSError):
+        pass  # advisory only
+
+
+def encode_streaming(input_path: str, output_path: str, *,
+                     n_clusters: int = 1, mode: int = MODE_RATIO,
+                     ratio: float = 0.5, cluster_threshold: float = 4.0,
+                     well_state: WellState | None = None,
+                     dist_matrix: np.ndarray | None = None,
+                     shards: int = 0,
+                     max_shard_lines: int = 1_000_000,
+                     chunk_lines: int = 1_000_000,
+                     prime: bool = True) -> dict:
+    """Encode a quality file to a QVZ2 container with bounded memory.
+
+    Returns a stats dict (rate, distortion, payload_bytes, phase
+    seconds). Peak memory ~ chunk_lines*cols (stats pass) +
+    workers*max_shard_lines*cols (coding)."""
+    if well_state is None:
+        well_state = WellState.debug()
+    if dist_matrix is None:
+        from qvz_tpu.constants import DISTORTION_MSE
+        from qvz_tpu.ops.distortion import make_matrix
+        dist_matrix = make_matrix(DISTORTION_MSE)
+
+    n, columns = _geometry(input_path)
+    if hasattr(os, "posix_fadvise"):
+        try:
+            fd = os.open(input_path, os.O_RDONLY)
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_SEQUENTIAL)
+            os.close(fd)
+        except OSError:
+            pass
+    mm = np.memmap(input_path, dtype=np.uint8, mode="r")
+    stats = {"lines": n, "columns": columns}
+    t0 = time.perf_counter()
+
+    # --- k-means (chunked Lloyd iterations, bit-exact) -------------------
+    assign = None
+    if n_clusters > 1:
+        from qvz_tpu.constants import MAX_KMEANS_ITERATIONS, \
+            MAX_LINES_PER_BLOCK
+        from qvz_tpu.utils.glibc_rand import GlibcRand
+
+        rand = GlibcRand(1)
+        block_count = -(-n // MAX_LINES_PER_BLOCK)
+        means = np.empty((n_clusters, columns), dtype=np.int64)
+        for j in range(n_clusters):
+            block_id = rand.rand() % block_count
+            cnt = min(MAX_LINES_PER_BLOCK, n - block_id * MAX_LINES_PER_BLOCK)
+            line_id = rand.rand() % cnt
+            gidx = block_id * MAX_LINES_PER_BLOCK + line_id
+            means[j] = _rows(mm, columns, gidx, gidx + 1)[0]
+        assign = np.empty(n, dtype=np.uint8)
+        iters = 0
+        while iters < MAX_KMEANS_ITERATIONS:
+            sums = np.zeros((n_clusters, columns), dtype=np.int64)
+            cnts = np.zeros(n_clusters, dtype=np.int64)
+            for lo in range(0, n, chunk_lines):
+                hi = min(n, lo + chunk_lines)
+                a, s_, c_ = rt.kmeans_iter(_rows(mm, columns, lo, hi),
+                                           means)
+                assign[lo:hi] = a
+                sums += s_
+                cnts += c_
+            iters += 1
+            new_means = sums // np.maximum(cnts, 1)[:, None]
+            diff = (new_means - means).astype(np.float64)
+            moved = float((diff * diff).sum(axis=1).max())
+            means = new_means
+            if moved <= cluster_threshold:
+                break
+        stats["kmeans_iters"] = iters
+    t1 = time.perf_counter()
+    stats["cluster_s"] = t1 - t0
+
+    # --- statistics (chunked, accumulated in place) ----------------------
+    counts0 = np.zeros((n_clusters, A), dtype=np.uint64)
+    cond = np.zeros((n_clusters, columns - 1, A, A), dtype=np.uint64)
+    for lo in range(0, n, chunk_lines):
+        hi = min(n, lo + chunk_lines)
+        rt.stats_host(_rows(mm, columns, lo, hi),
+                      assign[lo:hi] if assign is not None else None,
+                      n_clusters, accumulate=(counts0, cond))
+        if n_clusters == 1:
+            # single-cluster: no later pass re-reads this range until
+            # its own shard codes it; let the kernel reclaim the pages
+            _drop_pages(mm, columns, lo, hi)
+    t2 = time.perf_counter()
+    stats["stats_s"] = t2 - t1
+
+    # --- design -----------------------------------------------------------
+    design = rt.Design(counts0, cond, mode, ratio, dist_matrix)
+    blocks = design.serialized()
+    tables = design.tables()
+    t3 = time.perf_counter()
+    stats["design_s"] = t3 - t2
+
+    # --- shard plan + WELL states ----------------------------------------
+    ncpu = os.cpu_count() or 1
+    if shards == 0:
+        shards = max(ncpu, -(-n // max_shard_lines))
+    shards = max(1, min(shards, n))
+    warmup = min(PRIME_WARMUP_LINES, max(8192, n // 12)) if prime else 0
+    prime_on = warmup > 0 and shards > 1 and n > 2 * warmup
+    counts = _shard_plan(n, columns, shards,
+                         warmup=warmup if prime_on else 0)
+    prime_on = prime_on and len(counts) > 1
+    order = [(well_state.n + i) & 31 for i in range(32)]
+    state_words = np.asarray(well_state.state, dtype=np.uint32)[order]
+    if prime_on:
+        base2 = rt.well_jump(state_words, 2, counts[0] * columns // 4)
+        rest = rt.well_jump(base2[1], len(counts) - 1,
+                            counts[1] * columns // 4)
+        states = np.vstack([state_words[None, :], rest])
+    else:
+        states = rt.well_jump(state_words, len(counts),
+                              counts[0] * columns // 4)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    S = len(counts)
+
+    # --- streaming container writer --------------------------------------
+    # header + blocks + file state + directory placeholder, payloads
+    # appended in shard order, directory backpatched at the end.
+    head = container_v2._HEAD.pack(
+        container_v2.MAGIC, container_v2.VERSION, n_clusters,
+        container_v2.ORDER_COL, 1 if prime_on else 0, columns, n, S)
+    dir_pos = len(head) + len(blocks) + 128
+    dir_size = S * (container_v2._SHARD.size + 128)
+    out_f = open(output_path, "wb")
+    out_f.write(head)
+    out_f.write(blocks)
+    out_f.write(np.asarray(states[0], dtype="<u4").tobytes())
+    out_f.write(b"\x00" * dir_size)
+
+    payload_meta = [None] * S  # (length, checksum)
+    pending = {}
+    next_to_write = 0
+    dist_total = 0.0
+
+    def write_ready(s, payload):
+        nonlocal next_to_write
+        pending[s] = payload
+        while next_to_write in pending:
+            p = pending.pop(next_to_write)
+            payload_meta[next_to_write] = (len(p), rt.xxh64(p))
+            out_f.write(p)
+            next_to_write += 1
+
+    def code_shard(s, init_bank=None, want_bank=False):
+        lo, hi = int(offs[s]), int(offs[s + 1])
+        data_t = _rows_t(mm, columns, lo, hi)
+        r = rt.encode_fused_colmajor(
+            tables, data_t,
+            assign[lo:hi] if assign is not None else None,
+            states[s], dist=dist_matrix, want_recon=False,
+            init_bank=init_bank, want_bank=want_bank)
+        del data_t
+        _drop_pages(mm, columns, lo, hi)
+        return r
+
+    bank = None
+    first = 0
+    if prime_on:
+        p0, _, d0, bank = code_shard(0, want_bank=True)
+        dist_total += d0
+        write_ready(0, p0)
+        first = 1
+
+    from threading import Lock
+    wlock = Lock()
+
+    def worker(s):
+        nonlocal dist_total
+        pay, _, dsum = code_shard(s, init_bank=bank)
+        with wlock:
+            write_ready(s, pay)
+            dist_total += dsum
+
+    with ThreadPoolExecutor(max_workers=ncpu) as ex:
+        list(ex.map(worker, range(first, S)))
+    assert next_to_write == S
+
+    # backpatch the directory
+    out_f.seek(dir_pos)
+    for s in range(S):
+        plen, ck = payload_meta[s]
+        out_f.write(container_v2._SHARD.pack(int(counts[s]), plen, ck))
+        out_f.write(np.asarray(states[s], dtype="<u4").tobytes())
+    out_f.close()
+    t4 = time.perf_counter()
+    stats["code_s"] = t4 - t3
+
+    payload_bytes = sum(m[0] for m in payload_meta)
+    stats["payload_bytes"] = payload_bytes
+    stats["rate"] = payload_bytes * 8.0 / (float(n) * columns)
+    stats["distortion"] = dist_total / n
+    stats["total_s"] = t4 - t0
+    stats["shards"] = S
+    return stats

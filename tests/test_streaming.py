@@ -1,0 +1,61 @@
+"""Bounded-memory streaming encode: byte-identical container to the
+in-memory pipeline for the same shard plan, across cluster counts and
+priming modes."""
+
+import numpy as np
+import pytest
+
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import decode as dec_mod
+from qvz_tpu.pipeline import encode as enc_mod
+from qvz_tpu.pipeline.streaming import encode_streaming
+
+
+@pytest.fixture(scope="module")
+def qfile(tmp_path_factory):
+    rng = np.random.default_rng(77)
+    n, cols = 30000, 40
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = data + 33
+    out[:, cols] = 10
+    path = tmp_path_factory.mktemp("st") / "st.in"
+    path.write_bytes(out.tobytes())
+    return str(path), data
+
+
+@pytest.mark.parametrize("n_clusters,prime", [(1, True), (1, False),
+                                              (3, True)])
+def test_streaming_byte_equal(qfile, tmp_path, n_clusters, prime):
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    mem = enc_mod.encode(data, dist, n_clusters=n_clusters, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=5, want_recon=False, prime=prime)
+    out_path = tmp_path / f"s{n_clusters}{prime}.q"
+    st = encode_streaming(path, str(out_path), n_clusters=n_clusters,
+                          ratio=0.5, well_state=WellState.debug(),
+                          dist_matrix=dist, shards=5, prime=prime,
+                          chunk_lines=7000)  # force multiple chunks
+    assert out_path.read_bytes() == mem.compressed
+    assert abs(st["rate"] - mem.stats.rate) < 1e-12
+    assert abs(st["distortion"] - mem.stats.distortion) < 1e-9
+
+
+def test_streaming_roundtrip(qfile, tmp_path):
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    out_path = tmp_path / "rt.q"
+    encode_streaming(path, str(out_path), ratio=0.5,
+                     well_state=WellState.debug(), dist_matrix=dist,
+                     shards=4, chunk_lines=9000)
+    mem = enc_mod.encode(data, dist, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=4, want_recon=True)
+    dec = dec_mod.decode(out_path.read_bytes())
+    assert np.array_equal(dec[:, :data.shape[1]], mem.reconstructed + 33)
