@@ -237,8 +237,7 @@ def _run(opts, extract, input_name, output_name) -> int:
                 return 0
             # v1 containers are a single sequential stream: fall through
         from qvz_tpu.pipeline import decode as dec_mod
-        compressed = open(input_name, "rb").read()
-        n = dec_mod.decode_to_file(compressed, output_name)
+        n = dec_mod.decode_file_to_file(input_name, output_name)
         if opts["verbose"]:
             print(f"Decoded {n} lines in {time.perf_counter() - t0:.4f} "
                   f"seconds.")

@@ -86,8 +86,10 @@ class ContainerV2:
     priming: int = 0
 
 
-def is_v2(data: bytes) -> bool:
-    return data[:4] == MAGIC
+def is_v2(data) -> bool:
+    # bytes() so buffer-protocol containers (np.memmap of the container
+    # file) compare correctly too
+    return bytes(data[:4]) == MAGIC
 
 
 def build(blocks: bytes, cluster_count: int, columns: int, lines: int,

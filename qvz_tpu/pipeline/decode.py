@@ -85,15 +85,17 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
     return out
 
 
-def decode_to_file(compressed: bytes, path: str) -> int:
+def decode_to_file(compressed, path: str) -> int:
     """Decode straight into a memory-mapped output file: shard threads
     write their line ranges in place and the OS flushes pages lazily —
-    no second full-size copy at GB scale."""
+    no second full-size copy at GB scale. `compressed` may be bytes or
+    any buffer (e.g. an np.memmap of the container — see
+    decode_file_to_file)."""
     if container_v2.is_v2(compressed):
         head = container_v2.parse(compressed, blocks_len=None)
         lines, cols = head.lines, head.columns
     else:
-        _, cols, lines = container.read_header(compressed[:9])
+        _, cols, lines = container.read_header(bytes(compressed[:9]))
     if lines == 0:
         open(path, "wb").close()
         return 0
@@ -102,3 +104,16 @@ def decode_to_file(compressed: bytes, path: str) -> int:
     decode(compressed, out=mm)
     mm.flush()
     return lines
+
+
+def decode_file_to_file(in_path: str, out_path: str) -> int:
+    """Decode a container FILE without reading it into memory: the
+    container is memory-mapped and shard payloads are sliced zero-copy
+    (a whole-genome-scale QVZ2 container is tens of GB — reading it
+    up front would double peak memory for no reason)."""
+    import os
+
+    if os.path.getsize(in_path) == 0:
+        raise ValueError("empty container")
+    mm_in = np.memmap(in_path, dtype=np.uint8, mode="r")
+    return decode_to_file(mm_in, out_path)
