@@ -144,7 +144,7 @@ def load() -> ctypes.CDLL:
     lib.qvz_encode_fused.restype = c.c_int64
 
     lib.qvz_decode_lines.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p]
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u8p]
     lib.qvz_decode_lines.restype = c.c_int32
 
     lib.qvz_encode_fused_colmajor.argtypes = [
@@ -164,7 +164,8 @@ def load() -> ctypes.CDLL:
     lib.qvz_tables_bank_words.restype = c.c_uint64
 
     lib.qvz_decode_colmajor.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u32p, u32p]
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u32p, u32p,
+        u8p]
     lib.qvz_decode_colmajor.restype = c.c_int32
 
     _lib = lib

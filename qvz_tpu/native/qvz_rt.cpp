@@ -1869,7 +1869,8 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
 int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint64_t payload_len, uint64_t n_lines,
                             const uint32_t* well_state, uint8_t* out,
-                            const uint32_t* init_bank, uint32_t* out_bank) {
+                            const uint32_t* init_bank, uint32_t* out_bank,
+                            uint8_t* cluster_out) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
@@ -1901,6 +1902,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
     if (c >= tb->n_clusters) return -1;
     cl[i] = static_cast<uint8_t>(c);
   }
+  if (cluster_out) std::memcpy(cluster_out, cl.data(), n_lines);
 
   // Column-major structural advantage: every symbol's model depends
   // only on the PREVIOUS column's decoded values, all known before the
@@ -1956,7 +1958,8 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
 // Returns 0 on success.
 int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
                          uint64_t payload_len, uint64_t n_lines,
-                         const uint32_t* well_state, uint8_t* out) {
+                         const uint32_t* well_state, uint8_t* out,
+                         uint8_t* cluster_out) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
@@ -1971,6 +1974,7 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
     bank.update(0, c);
     if (dec.bad) return -3;
     if (c >= tb->n_clusters) return -1;
+    if (cluster_out) cluster_out[i] = static_cast<uint8_t>(c);
     uint8_t* orow = out + i * (columns + 1);
     uint64_t cbase = static_cast<uint64_t>(c) * columns;
     // Model id for column 0 (context is always 0 there).

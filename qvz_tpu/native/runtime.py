@@ -414,7 +414,8 @@ def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
 def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
                     well_state_words, out: np.ndarray | None = None,
                     init_bank: np.ndarray | None = None,
-                    want_bank: bool = False):
+                    want_bank: bool = False,
+                    cluster_out: bool = False):
     """Decode a column-major shard payload to Phred+33 text lines.
 
     init_bank/want_bank: model-bank snapshot in/out (shard priming;
@@ -435,19 +436,26 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
           if init_bank is not None else None)
     ob = (np.empty(tables.bank_words, dtype=np.uint32)
           if want_bank else None)
+    cl = np.empty(n_lines, dtype=np.uint8) if cluster_out else None
     r = lib.qvz_decode_colmajor(tables._h, _ptr(pay, _u8p), len(pay),
                                 n_lines, _ptr(st, _u32p), _ptr(out, _u8p),
                                 _ptr(ib, _u32p) if ib is not None else None,
-                                _ptr(ob, _u32p) if ob is not None else None)
+                                _ptr(ob, _u32p) if ob is not None else None,
+                                _ptr(cl, _u8p) if cl is not None else None)
     if r != 0:
         raise ValueError(f"decode failed with status {r}")
     out = out.reshape(n_lines, cols + 1)
-    return (out, ob) if want_bank else out
+    res = [out]
+    if want_bank:
+        res.append(ob)
+    if cluster_out:
+        res.append(cl)
+    return tuple(res) if len(res) > 1 else out
 
 
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
-                 well_state_words, out: np.ndarray | None = None
-                 ) -> np.ndarray:
+                 well_state_words, out: np.ndarray | None = None,
+                 cluster_out: bool = False):
     """Decode the payload to Phred+33 text bytes with newlines.
 
     `out` may be a preallocated C-contiguous uint8 buffer of
@@ -465,8 +473,11 @@ def decode_lines(tables: Tables, payload: bytes, n_lines: int,
     else:
         assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
         assert out.size == n_lines * (cols + 1)
+    cl = np.empty(n_lines, dtype=np.uint8) if cluster_out else None
     r = lib.qvz_decode_lines(tables._h, _ptr(pay, _u8p), len(pay),
-                             n_lines, _ptr(st, _u32p), _ptr(out, _u8p))
+                             n_lines, _ptr(st, _u32p), _ptr(out, _u8p),
+                             _ptr(cl, _u8p) if cl is not None else None)
     if r != 0:
         raise ValueError(f"decode failed with status {r}")
-    return out.reshape(n_lines, cols + 1)
+    out = out.reshape(n_lines, cols + 1)
+    return (out, cl) if cluster_out else out

@@ -232,3 +232,28 @@ def test_rd_sweep_bit_parity(ref_bin, tmp_path):
             assert r.returncode == 0
             assert cli.main(["qvz", "-x", str(our_q), str(our_d)]) == 0
             assert our_d.read_bytes() == ref_d.read_bytes()
+
+
+def test_transcoded_v2_to_v1_decodes_with_reference(ref_bin, tmp_path):
+    """Interop: a QVZ2 archive transcoded to v1 (tools/transcode, no
+    re-quantization) must be decodable by the reference C binary, with
+    output equal to our own decode of the QVZ2 original."""
+    from qvz_tpu import cli
+    from qvz_tpu.tools.transcode import transcode
+
+    inp = tmp_path / "in.qual"
+    synth_file(inp, 1200, 40, 909)
+    v2 = tmp_path / "a.v2.q"
+    assert cli.main(["qvz", "-f", "0.5", "-c", "2", "--debug-seed",
+                     "--no-jax", "--shards", "3", str(inp),
+                     str(v2)]) == 0
+    v1 = tmp_path / "a.v1.q"
+    transcode(str(v2), str(v1), "v1")
+
+    ref_dec = tmp_path / "ref.dec"
+    r = subprocess.run([str(ref_bin), "-x", str(v1), str(ref_dec)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    our_dec = tmp_path / "our.dec"
+    assert cli.main(["qvz", "-x", str(v2), str(our_dec)]) == 0
+    assert ref_dec.read_bytes() == our_dec.read_bytes()
