@@ -1528,15 +1528,55 @@ void qvz_stats(const uint8_t* data, uint64_t n_lines, uint32_t columns,
                const uint8_t* cluster_ids, uint64_t* counts0,
                uint64_t* cond) {
   uint64_t cond_stride = static_cast<uint64_t>(columns - 1) * A * A;
-  for (uint64_t i = 0; i < n_lines; ++i) {
-    uint32_t c = cluster_ids ? cluster_ids[i] : 0;
-    const uint8_t* row = data + i * columns;
-    counts0[static_cast<uint64_t>(c) * A + row[0]] += 1;
-    uint64_t* cc = cond + static_cast<uint64_t>(c) * cond_stride;
-    for (uint32_t col = 1; col < columns; ++col) {
-      cc[(static_cast<uint64_t>(col - 1) * A + row[col - 1]) * A +
-         row[col]] += 1;
+  auto accumulate = [&](uint64_t lo, uint64_t hi, uint64_t* c0,
+                        uint64_t* cd) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      uint32_t c = cluster_ids ? cluster_ids[i] : 0;
+      const uint8_t* row = data + i * columns;
+      c0[static_cast<uint64_t>(c) * A + row[0]] += 1;
+      uint64_t* cc = cd + static_cast<uint64_t>(c) * cond_stride;
+      for (uint32_t col = 1; col < columns; ++col) {
+        cc[(static_cast<uint64_t>(col - 1) * A + row[col - 1]) * A +
+           row[col]] += 1;
+      }
     }
+  };
+  // Thread over row blocks with private accumulators; the integer
+  // merges are exact in any order. n_clusters is implicit in the array
+  // sizes, so each thread allocates a single-cluster-span scratch only
+  // when cluster_ids is null — with clusters we derive the span from
+  // the maximum id (counts arrays were sized by the caller).
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t min_per = 1u << 16;
+  size_t nt = hw ? hw : 1;
+  if (n_lines / nt < min_per) nt = std::max<uint64_t>(1, n_lines / min_per);
+  if (nt <= 1) {
+    accumulate(0, n_lines, counts0, cond);
+    return;
+  }
+  uint32_t n_clusters = 1;
+  if (cluster_ids) {
+    uint8_t mx = 0;
+    for (uint64_t i = 0; i < n_lines; ++i) mx = std::max(mx, cluster_ids[i]);
+    n_clusters = mx + 1u;
+  }
+  size_t c0_len = static_cast<size_t>(n_clusters) * A;
+  size_t cd_len = static_cast<size_t>(n_clusters) * cond_stride;
+  std::vector<std::vector<uint64_t>> p0(nt), pc(nt);
+  std::vector<std::thread> ts;
+  uint64_t block = (n_lines + nt - 1) / nt;
+  for (size_t t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      p0[t].assign(c0_len, 0);
+      pc[t].assign(cd_len, 0);
+      uint64_t lo = t * block, hi = std::min(n_lines, lo + block);
+      if (lo < hi) accumulate(lo, hi, p0[t].data(), pc[t].data());
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (size_t t = 0; t < nt; ++t) {
+    for (size_t k = 0; k < c0_len; ++k) counts0[k] += p0[t][k];
+    for (size_t k = 0; k < cd_len; ++k) cond[k] += pc[t][k];
   }
 }
 

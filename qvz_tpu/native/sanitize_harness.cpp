@@ -39,9 +39,10 @@ void qvz_well_jump(const uint32_t*, uint32_t, uint64_t, uint32_t*);
 int64_t qvz_encode_fused_colmajor(void*, const uint8_t*, uint64_t,
                                   const uint8_t*, const uint32_t*,
                                   const double*, uint8_t*, double*, uint8_t*,
-                                  int64_t);
+                                  int64_t, const uint32_t*, uint32_t*);
 int32_t qvz_decode_colmajor(void*, const uint8_t*, uint64_t, uint64_t,
-                            const uint32_t*, uint8_t*);
+                            const uint32_t*, uint8_t*, const uint32_t*,
+                            uint32_t*, uint8_t*);
 }
 
 static const int A = 72;
@@ -148,13 +149,15 @@ int main() {
         payloads[t].resize(cap);
         int64_t r = qvz_encode_fused_colmajor(
             tables, dt.data(), n, cl.data(), &states[32 * t], dist.data(),
-            recon[t].data(), &dsum, payloads[t].data(), cap);
+            recon[t].data(), &dsum, payloads[t].data(), cap, nullptr,
+            nullptr);
         assert(r > 0);
         plen[t] = r;
         // round-trip: decode must reproduce recon (+33) exactly
         std::vector<uint8_t> out(n * (cols + 1));
         int32_t rc = qvz_decode_colmajor(tables, payloads[t].data(), r, n,
-                                         &states[32 * t], out.data());
+                                         &states[32 * t], out.data(),
+                                         nullptr, nullptr, nullptr);
         assert(rc == 0);
         for (uint64_t i = 0; i < n; ++i)
           for (uint32_t c = 0; c < cols; ++c)
@@ -164,6 +167,65 @@ int main() {
     }
     for (auto& th : ts) th.join();
     std::printf("sharded encode+decode x%d threads: ok\n", n_shards);
+  }
+
+  // 5. Primed shard coding: warmup captures the bank serially, then
+  //    all shards read the SHARED snapshot concurrently (the QVZ2
+  //    priming flow) — exercises load() from a buffer owned by the
+  //    main thread while other threads read it.
+  {
+    const int n_shards = 3;
+    uint64_t w = 512;  // warmup lines (multiple of 4)
+    uint64_t per = ((n_lines - w) / n_shards + 3) & ~3ull;
+    std::vector<uint32_t> states(static_cast<size_t>(n_shards + 1) * 32);
+    qvz_well_jump(base_state, 2, w * cols / 4, states.data());
+    qvz_well_jump(states.data() + 32, n_shards, per * cols / 4,
+                  states.data() + 32);
+    // bank snapshot size: sum of cards + n_models — fetch via encode
+    // with out_bank on a probe... simplest: large scratch
+    std::vector<uint32_t> bank(1u << 22, 0);
+    {
+      std::vector<uint8_t> dt(cols * w);
+      for (uint64_t i = 0; i < w; ++i)
+        for (uint32_t c = 0; c < cols; ++c)
+          dt[static_cast<size_t>(c) * w + i] = data[i * cols + c];
+      std::vector<uint8_t> cl(clusters.begin(), clusters.begin() + w);
+      std::vector<uint8_t> pay(w * cols * 2 + 4096);
+      double dsum = 0;
+      int64_t r = qvz_encode_fused_colmajor(
+          tables, dt.data(), w, cl.data(), states.data(), dist.data(),
+          nullptr, &dsum, pay.data(), pay.size(), nullptr, bank.data());
+      assert(r > 0);
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_shards; ++t) {
+      ts.emplace_back([&, t] {
+        uint64_t lo = w + static_cast<uint64_t>(t) * per;
+        uint64_t hi = std::min<uint64_t>(n_lines, lo + per);
+        if (lo >= hi) return;
+        uint64_t n = hi - lo;
+        std::vector<uint8_t> dt(cols * n);
+        for (uint64_t i = 0; i < n; ++i)
+          for (uint32_t c = 0; c < cols; ++c)
+            dt[static_cast<size_t>(c) * n + i] = data[(lo + i) * cols + c];
+        std::vector<uint8_t> cl(clusters.begin() + lo,
+                                clusters.begin() + hi);
+        std::vector<uint8_t> pay(n * cols * 2 + 4096);
+        double dsum = 0;
+        int64_t r = qvz_encode_fused_colmajor(
+            tables, dt.data(), n, cl.data(), &states[32 * (t + 1)],
+            dist.data(), nullptr, &dsum, pay.data(), pay.size(),
+            bank.data(), nullptr);
+        assert(r > 0);
+        std::vector<uint8_t> out(n * (cols + 1));
+        int32_t rc = qvz_decode_colmajor(
+            tables, pay.data(), r, n, &states[32 * (t + 1)], out.data(),
+            bank.data(), nullptr, nullptr);
+        assert(rc == 0);
+      });
+    }
+    for (auto& th : ts) th.join();
+    std::printf("primed shard coding x%d threads: ok\n", n_shards);
   }
 
   qvz_tables_free(tables);
