@@ -49,11 +49,13 @@ def write_header(cluster_count: int, columns: int, lines: int) -> bytes:
         struct.pack(">I", columns) + struct.pack(">I", lines & 0xFFFFFFFF)
 
 
-def read_header(data: bytes):
+def read_header(data):
     if len(data) < 9:
         raise ValueError("container too short for header")
-    cluster_count = data[0]
-    columns, lines = struct.unpack(">II", data[1:9])
+    # int() so buffer-protocol inputs (np.memmap) don't leak numpy
+    # scalars whose fixed width overflows in later arithmetic
+    cluster_count = int(data[0])
+    columns, lines = struct.unpack(">II", bytes(data[1:9]))
     if cluster_count == 0 or columns == 0:
         raise ValueError("malformed container header")
     return cluster_count, columns, lines
