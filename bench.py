@@ -150,6 +150,21 @@ def main() -> None:
             log("FATAL: decoded size mismatch")
             sys.exit(1)
 
+        # --- streaming encoder (bounded-memory production path) ----------
+        try:
+            from qvz_tpu.pipeline.streaming import encode_streaming
+            st_q = tmp / "stream.q"
+            t0 = time.perf_counter()
+            st = encode_streaming(str(inp), str(st_q),
+                                  well_state=WellState.debug(), ratio=0.5)
+            t_st = time.perf_counter() - t0
+            same = st_q.read_bytes() == our_q.read_bytes()
+            log(f"ours/streaming: encode {t_st:.2f}s rate {st['rate']:.4f} "
+                f"({st['shards']} shards, container "
+                f"{'byte-equal to in-memory' if same else 'DIFFERS'})")
+        except Exception as e:
+            log(f"ours/streaming: FAILED {e}")
+
         # --- device kernel rates + tunnel bandwidth (steady-state, device-
         # resident buffers). Run in a watchdogged subprocess — the shared-
         # tunnel TPU in this environment has unbounded cold-start variance
