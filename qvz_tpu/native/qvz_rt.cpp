@@ -453,11 +453,14 @@ struct Decoder {
     // for the interval update, so the step runs with ZERO divides.
     uint32_t tl = t - l;
     // Scan on cum*range >= T, the reference's "cum > sub"
-    // (arith.c:130-137) with the tag-gap divide eliminated. (A
-    // branch-free 16-lane AVX2 search was tried and measured SLOWER on
-    // the bench profile: mean symbol index is 1.34, and the vector
-    // prefix-sum chain + mask extraction cost more than the short
-    // scalar scan with its mostly-predicted exit.)
+    // (arith.c:130-137) with the tag-gap divide eliminated. Negative
+    // results (both reverted, measured on the bench profile where the
+    // mean symbol index is 1.34): a branch-free 16-lane AVX2 search
+    // (vector prefix chain + mask extraction cost more than the short
+    // scan), and a fixed 4-wide branchless prefix with popcount index
+    // selection (4 unconditional multiplies + a store-forwarded select
+    // lost ~20% decode throughput vs the predicted short scan). The
+    // plain scan with its partially-predictable exit wins.
     uint64_t T = static_cast<uint64_t>(tl + 1) * n;
     uint32_t k = 0;
     uint32_t cum = c[0];
