@@ -240,6 +240,13 @@ struct BitReader {
     for (int b = n - 1; b >= 0; --b) v |= get() << b;
     return v;
   }
+
+  // A VALID stream never consumes more than a few refill words past
+  // its end (final-byte drain + 64-bit refill slack); far overshoot
+  // means a corrupt container claiming more symbols than the payload
+  // carries — callers use this to fail fast instead of decoding
+  // garbage for the full claimed line count.
+  inline bool overrun() const { return next > len + 64; }
 };
 
 // ----------------------------------------------------- adaptive models
@@ -1967,6 +1974,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
       uint32_t choice = drawcol[i] >= tb->qratio[p] ? 1u : 0u;
       mcol[i] = static_cast<uint32_t>(1 + p * 2 + choice);
     }
+    if (br.overrun()) return -4;
     for (uint64_t i = 0; i < n_lines; ++i) {
       if (i + 4 < n_lines) bank.prefetch(mcol[i + 4]);
       uint32_t m = mcol[i];
@@ -2017,6 +2025,7 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
     bank.update(0, c);
     if (dec.bad) return -3;
     if (c >= tb->n_clusters) return -1;
+    if (br.overrun()) return -4;
     if (cluster_out) cluster_out[i] = static_cast<uint8_t>(c);
     uint8_t* orow = out + i * (columns + 1);
     uint64_t cbase = static_cast<uint64_t>(c) * columns;

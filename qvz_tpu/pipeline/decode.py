@@ -14,6 +14,21 @@ from qvz_tpu.format import container, container_v2
 from qvz_tpu.native import runtime as rt
 
 
+def _sane_output_size(lines: int, columns: int) -> None:
+    """Corrupt headers can claim absurd geometry; decoding then costs
+    O(lines) even when the payload is tiny (the reference has the same
+    blind spot — it trusts its header, main.c:150). Cap the claimed
+    output size (default 1 TB, QVZ_TPU_MAX_DECODE_BYTES overrides)."""
+    import os
+
+    cap = int(os.environ.get("QVZ_TPU_MAX_DECODE_BYTES", 1 << 40))
+    if lines * (columns + 1) > cap:
+        raise ValueError(
+            f"container claims {lines}x{columns} output "
+            f"(> {cap} bytes); refusing (set QVZ_TPU_MAX_DECODE_BYTES "
+            f"to raise)")
+
+
 def decode(compressed: bytes, out: np.ndarray | None = None) -> np.ndarray:
     """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
 
@@ -24,6 +39,7 @@ def decode(compressed: bytes, out: np.ndarray | None = None) -> np.ndarray:
     if container_v2.is_v2(compressed):
         return _decode_v2(compressed, out)
     cluster_count, columns, lines = container.read_header(compressed[:9])
+    _sane_output_size(lines, columns)
     tables = rt.tables_from_blocks(compressed[9:], cluster_count, columns)
     pos = 9 + tables.consumed
     well_words = np.frombuffer(compressed[pos:pos + 128], dtype="<u4")
@@ -44,6 +60,7 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
                                    head.columns)
     head = container_v2.parse(compressed, blocks_len=tables.consumed)
     cols = head.columns
+    _sane_output_size(head.lines, cols)
     if out is None:
         out = np.empty((head.lines, cols + 1), dtype=np.uint8)
     offs = np.concatenate(
@@ -99,6 +116,7 @@ def decode_to_file(compressed, path: str) -> int:
     if lines == 0:
         open(path, "wb").close()
         return 0
+    _sane_output_size(lines, cols)
     mm = np.memmap(path, dtype=np.uint8, mode="w+",
                    shape=(lines, cols + 1))
     decode(compressed, out=mm)

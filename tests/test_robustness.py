@@ -110,3 +110,50 @@ def test_empty_and_tiny_inputs():
         dec_mod.decode(b"")
     with pytest.raises((ValueError, IndexError)):
         dec_mod.decode(b"\x01\x00\x00")
+
+
+def test_random_blob_fuzz():
+    """Decoding random garbage must raise cleanly, never crash or run
+    away (guards: bounds-checked parsing, bit-reader overrun detection,
+    output-size sanity cap)."""
+    import os
+
+    rng = np.random.default_rng(0)
+    os.environ["QVZ_TPU_MAX_DECODE_BYTES"] = str(50_000_000)
+    try:
+        for _ in range(200):
+            n = int(rng.integers(1, 4000))
+            blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            with pytest.raises((ValueError, IndexError, OverflowError,
+                                MemoryError)):
+                dec_mod.decode(blob)
+                raise ValueError("decoded garbage (acceptable)")
+    finally:
+        del os.environ["QVZ_TPU_MAX_DECODE_BYTES"]
+
+
+def test_header_corruption_fuzz(containers):
+    """Single-byte header/directory/blocks corruptions must terminate
+    quickly with a clean error or a sane decode — never hang on a
+    runaway claimed line count."""
+    import os
+    import time
+
+    v1, v2 = containers
+    rng = np.random.default_rng(1)
+    os.environ["QVZ_TPU_MAX_DECODE_BYTES"] = str(50_000_000)
+    try:
+        t0 = time.monotonic()
+        for comp in (v1, v2):
+            for _ in range(150):
+                bad = bytearray(comp)
+                pos = int(rng.integers(0, min(len(comp), 200)))
+                bad[pos] = int(rng.integers(0, 256))
+                try:
+                    dec_mod.decode(bytes(bad))
+                except (ValueError, IndexError, OverflowError,
+                        MemoryError):
+                    pass
+        assert time.monotonic() - t0 < 120, "corruption fuzz too slow"
+    finally:
+        del os.environ["QVZ_TPU_MAX_DECODE_BYTES"]
