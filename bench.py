@@ -286,6 +286,39 @@ def main() -> None:
                 "honest negative result; host path remains production "
                 "default on tunnel-attached chips")
 
+        # --- byte-exact parity leg (closes the seed loophole): a DEBUG
+        # reference build pins the WELL seed (src/qv_stream.c:82), so
+        # the v1 container must match OUR --debug-seed encode byte for
+        # byte on the bench corpus itself — the speed numbers below
+        # cannot be bought with a diverging codec.
+        try:
+            src = pathlib.Path("/root/reference")
+            if src.is_dir():
+                refdbg = tmp / "refdbg"
+                shutil.copytree(src, refdbg)
+                r = subprocess.run(["make", "debug"], cwd=refdbg,
+                                   capture_output=True)
+                dbg_bin = refdbg / "bin" / "qvz"
+                if r.returncode == 0 and dbg_bin.exists():
+                    refq = tmp / "refdbg.q"
+                    subprocess.run([str(dbg_bin), "-f", "0.5", "-c", "1",
+                                    str(inp), str(refq)], check=True,
+                                   capture_output=True, timeout=3600)
+                    ourq = tmp / "ourdbg.q"
+                    data = load_quality_file(str(inp))
+                    out = enc_mod.encode(
+                        data, dist, n_clusters=1, ratio=0.5,
+                        well_state=WellState.debug(), shards=1,
+                        use_jax=False, want_recon=False)
+                    ourq.write_bytes(out.compressed)
+                    same = refq.read_bytes() == ourq.read_bytes()
+                    log(f"parity/byte-exact vs debug reference on the "
+                        f"bench corpus: {'OK' if same else 'MISMATCH'}")
+                    if not same:
+                        sys.exit(1)
+        except Exception as e:
+            log(f"parity leg skipped: {e}")
+
         # --- reference ---------------------------------------------------
         ref_bin = build_reference(tmp)
         if ref_bin is not None:
