@@ -14,10 +14,18 @@ Architecture:
     bit-identical pure-Python specification implementations used as test
     oracles.
   * Multi-chip scaling uses jax.sharding meshes with psum/all_gather
-    collectives over the reads axis.
+    collectives over the reads axis; multi-host scaling via
+    parallel/multihost (process control plane, CLI --hosts) or
+    parallel/distributed (jax.distributed global mesh).
+  * Production formats: reference-compatible v1 (bit-exact both ways)
+    and the sharded QVZ2 container (parallel streams, per-shard xxh64
+    integrity, zero-byte-cost shard priming, identical reconstruction);
+    tools/transcode converts between them losslessly.
+  * Beyond-RAM corpora stream through pipeline/streaming (bounded
+    memory, byte-identical containers).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from qvz_tpu.constants import (  # noqa: F401
     ALPHABET_SIZE,
