@@ -165,7 +165,7 @@ def load() -> ctypes.CDLL:
 
     lib.qvz_decode_colmajor.argtypes = [
         c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u32p, u32p,
-        u8p]
+        u8p, u8p]
     lib.qvz_decode_colmajor.restype = c.c_int32
 
     _lib = lib

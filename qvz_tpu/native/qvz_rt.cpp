@@ -1916,11 +1916,15 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
 
 // Column-major decode matching qvz_encode_fused_colmajor. Writes
 // Phred+33 text lines with newlines into out ((columns+1) per line).
+// draws_t_in (optional): precomputed column-major dither draws — lets
+// the caller overlap draw generation with the serial warmup-decode
+// stage of a primed container.
 int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint64_t payload_len, uint64_t n_lines,
                             const uint32_t* well_state, uint8_t* out,
                             const uint32_t* init_bank, uint32_t* out_bank,
-                            uint8_t* cluster_out) {
+                            uint8_t* cluster_out,
+                            const uint8_t* draws_t_in) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
@@ -1929,8 +1933,12 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
   BitReader br(payload, payload_len);
   Decoder dec(&br);
 
-  std::vector<uint8_t> draws_t(static_cast<size_t>(n_lines) * columns);
-  {
+  std::vector<uint8_t> draws_t_own;
+  const uint8_t* draws_tp;
+  if (draws_t_in) {
+    draws_tp = draws_t_in;
+  } else {
+    draws_t_own.resize(static_cast<size_t>(n_lines) * columns);
     std::vector<uint8_t> draws(static_cast<size_t>(n_lines) * columns);
     Well well(well_state);
     for (size_t i = 0; i < draws.size(); ++i) {
@@ -1938,10 +1946,11 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
     }
     for (uint64_t i = 0; i < n_lines; ++i) {
       for (uint32_t c = 0; c < columns; ++c) {
-        draws_t[static_cast<size_t>(c) * n_lines + i] =
+        draws_t_own[static_cast<size_t>(c) * n_lines + i] =
             draws[i * columns + c];
       }
     }
+    draws_tp = draws_t_own.data();
   }
 
   std::vector<uint8_t> cl(n_lines, 0);
@@ -1964,7 +1973,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
   std::vector<uint8_t> prev_qv(n_lines, 0);
   std::vector<uint32_t> mcol(n_lines);
   for (uint32_t col = 0; col < columns; ++col) {
-    const uint8_t* drawcol = draws_t.data() + static_cast<size_t>(col) * n_lines;
+    const uint8_t* drawcol = draws_tp + static_cast<size_t>(col) * n_lines;
     bool last_col = (col + 1 == columns);
     for (uint64_t i = 0; i < n_lines; ++i) {
       uint64_t cc = static_cast<uint64_t>(cl[i]) * columns + col;

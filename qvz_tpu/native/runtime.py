@@ -415,7 +415,8 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
                     well_state_words, out: np.ndarray | None = None,
                     init_bank: np.ndarray | None = None,
                     want_bank: bool = False,
-                    cluster_out: bool = False):
+                    cluster_out: bool = False,
+                    draws_t: np.ndarray | None = None):
     """Decode a column-major shard payload to Phred+33 text lines.
 
     init_bank/want_bank: model-bank snapshot in/out (shard priming;
@@ -437,11 +438,14 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
     ob = (np.empty(tables.bank_words, dtype=np.uint32)
           if want_bank else None)
     cl = np.empty(n_lines, dtype=np.uint8) if cluster_out else None
+    dt = (np.ascontiguousarray(draws_t, dtype=np.uint8)
+          if draws_t is not None else None)
     r = lib.qvz_decode_colmajor(tables._h, _ptr(pay, _u8p), len(pay),
                                 n_lines, _ptr(st, _u32p), _ptr(out, _u8p),
                                 _ptr(ib, _u32p) if ib is not None else None,
                                 _ptr(ob, _u32p) if ob is not None else None,
-                                _ptr(cl, _u8p) if cl is not None else None)
+                                _ptr(cl, _u8p) if cl is not None else None,
+                                _ptr(dt, _u8p) if dt is not None else None)
     if r != 0:
         raise ValueError(f"decode failed with status {r}")
     out = out.reshape(n_lines, cols + 1)

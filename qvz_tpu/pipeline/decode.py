@@ -69,31 +69,53 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
     dec_fn = (rt.decode_colmajor if head.order == container_v2.ORDER_COL
               else rt.decode_lines)
 
-    def run(i, init_bank=None, want_bank=False):
+    def run(i, init_bank=None, want_bank=False, draws_t=None):
         s = head.shards[i]
         well = np.frombuffer(s.well_state, dtype="<u4")
         payload = compressed[s.payload_off:s.payload_off + s.payload_len]
         if rt.xxh64(payload) != s.checksum:
             raise ValueError(
                 f"shard {i} payload checksum mismatch (corrupt container)")
-        if init_bank is not None or want_bank:
+        if init_bank is not None or want_bank or draws_t is not None:
             if head.order != container_v2.ORDER_COL:
                 raise ValueError("primed QVZ2 requires column-major order")
             return rt.decode_colmajor(
                 tables, payload, s.lines, well,
                 out=out[offs[i]:offs[i + 1]].reshape(-1),
-                init_bank=init_bank, want_bank=want_bank)
+                init_bank=init_bank, want_bank=want_bank, draws_t=draws_t)
         dec_fn(tables, payload, s.lines, well,
                out=out[offs[i]:offs[i + 1]].reshape(-1))
 
     if head.priming and len(head.shards) > 1:
-        # serial warmup stage: shard 0 re-derives the shared prior
-        _, bank = run(0, want_bank=True)
+        # Primed container: shard 0's decode is a serial stage (it
+        # derives the shared prior). Overlap it with the OTHER shards'
+        # dither-draw generation + transpose (checksum verify rides
+        # along) — that work only needs each shard's WELL start state.
+        from threading import Event, Thread
+
+        bank_box = {}
+        ready = Event()
+
+        def warmup():
+            _, bank_box["bank"] = run(0, want_bank=True)
+            ready.set()
+
+        wt = Thread(target=warmup)
+        wt.start()
+
+        def prep_and_decode(i):
+            s = head.shards[i]
+            well = np.frombuffer(s.well_state, dtype="<u4")
+            draws_t = np.ascontiguousarray(rt.well_draws7(
+                well, s.lines * cols).reshape(s.lines, cols).T)
+            ready.wait()
+            return run(i, init_bank=bank_box["bank"], draws_t=draws_t)
+
         with ThreadPoolExecutor(
                 max_workers=min(len(head.shards) - 1,
                                 os.cpu_count() or 1)) as ex:
-            list(ex.map(lambda i: run(i, init_bank=bank),
-                        range(1, len(head.shards))))
+            list(ex.map(prep_and_decode, range(1, len(head.shards))))
+        wt.join()
     else:
         with ThreadPoolExecutor(
                 max_workers=min(len(head.shards),
