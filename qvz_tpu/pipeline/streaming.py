@@ -91,12 +91,16 @@ def encode_streaming(input_path: str, output_path: str, *,
                      shards: int = 0,
                      max_shard_lines: int = 1_000_000,
                      chunk_lines: int = 1_000_000,
-                     prime: bool = True) -> dict:
+                     prime: bool = True,
+                     reuse_blocks: bytes | None = None) -> dict:
     """Encode a quality file to a QVZ2 container with bounded memory.
 
     Returns a stats dict (rate, distortion, payload_bytes, phase
     seconds). Peak memory ~ chunk_lines*cols (stats pass) +
-    workers*max_shard_lines*cols (coding)."""
+    workers*max_shard_lines*cols (coding).
+
+    reuse_blocks: serialized codebook blocks from a previous container
+    (checkpoint/resume): skips the statistics and design phases."""
     if well_state is None:
         well_state = WellState.debug()
     if dist_matrix is None:
@@ -155,27 +159,35 @@ def encode_streaming(input_path: str, output_path: str, *,
     t1 = time.perf_counter()
     stats["cluster_s"] = t1 - t0
 
-    # --- statistics (chunked, accumulated in place) ----------------------
-    counts0 = np.zeros((n_clusters, A), dtype=np.uint64)
-    cond = np.zeros((n_clusters, columns - 1, A, A), dtype=np.uint64)
-    for lo in range(0, n, chunk_lines):
-        hi = min(n, lo + chunk_lines)
-        rt.stats_host(_rows(mm, columns, lo, hi),
-                      assign[lo:hi] if assign is not None else None,
-                      n_clusters, accumulate=(counts0, cond))
-        if n_clusters == 1:
-            # single-cluster: no later pass re-reads this range until
-            # its own shard codes it; let the kernel reclaim the pages
-            _drop_pages(mm, columns, lo, hi)
-    t2 = time.perf_counter()
-    stats["stats_s"] = t2 - t1
+    if reuse_blocks is not None:
+        # checkpoint path: codebooks fully determine the coder
+        tables = rt.tables_from_blocks(reuse_blocks, n_clusters, columns)
+        blocks = reuse_blocks[:tables.consumed]
+        t2 = t3 = time.perf_counter()
+        stats["stats_s"] = 0.0
+        stats["design_s"] = t3 - t1
+    else:
+        # --- statistics (chunked, accumulated in place) ------------------
+        counts0 = np.zeros((n_clusters, A), dtype=np.uint64)
+        cond = np.zeros((n_clusters, columns - 1, A, A), dtype=np.uint64)
+        for lo in range(0, n, chunk_lines):
+            hi = min(n, lo + chunk_lines)
+            rt.stats_host(_rows(mm, columns, lo, hi),
+                          assign[lo:hi] if assign is not None else None,
+                          n_clusters, accumulate=(counts0, cond))
+            if n_clusters == 1:
+                # single-cluster: no later pass re-reads this range
+                # until its own shard codes it; reclaim the pages
+                _drop_pages(mm, columns, lo, hi)
+        t2 = time.perf_counter()
+        stats["stats_s"] = t2 - t1
 
-    # --- design -----------------------------------------------------------
-    design = rt.Design(counts0, cond, mode, ratio, dist_matrix)
-    blocks = design.serialized()
-    tables = design.tables()
-    t3 = time.perf_counter()
-    stats["design_s"] = t3 - t2
+        # --- design -------------------------------------------------------
+        design = rt.Design(counts0, cond, mode, ratio, dist_matrix)
+        blocks = design.serialized()
+        tables = design.tables()
+        t3 = time.perf_counter()
+        stats["design_s"] = t3 - t2
 
     # --- shard plan + WELL states ----------------------------------------
     ncpu = os.cpu_count() or 1

@@ -59,3 +59,25 @@ def test_streaming_roundtrip(qfile, tmp_path):
                          shards=4, want_recon=True)
     dec = dec_mod.decode(out_path.read_bytes())
     assert np.array_equal(dec[:, :data.shape[1]], mem.reconstructed + 33)
+
+
+def test_streaming_reuse_books(qfile, tmp_path):
+    """Checkpoint/resume in the streaming path: reusing a previous
+    container's codebooks skips stats+design and yields the same
+    container as a fresh encode (same data, same books)."""
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    p1 = tmp_path / "a.q"
+    encode_streaming(path, str(p1), ratio=0.5,
+                     well_state=WellState.debug(), dist_matrix=dist,
+                     shards=4)
+    from qvz_tpu.format import container_v2
+    comp = p1.read_bytes()
+    blocks = comp[container_v2.header_size():]
+    p2 = tmp_path / "b.q"
+    st = encode_streaming(path, str(p2), ratio=0.5,
+                          well_state=WellState.debug(),
+                          dist_matrix=dist, shards=4,
+                          reuse_blocks=blocks)
+    assert st["stats_s"] == 0.0
+    assert p2.read_bytes() == comp
