@@ -237,7 +237,8 @@ def _run(opts, extract, input_name, output_name) -> int:
                 return 0
             # v1 containers are a single sequential stream: fall through
         from qvz_tpu.pipeline import decode as dec_mod
-        n = dec_mod.decode_file_to_file(input_name, output_name)
+        n = dec_mod.decode_file_to_file(input_name, output_name,
+                                        verbose=opts["verbose"])
         if opts["verbose"]:
             print(f"Decoded {n} lines in {time.perf_counter() - t0:.4f} "
                   f"seconds.")
@@ -327,7 +328,8 @@ def _run(opts, extract, input_name, output_name) -> int:
         ratio=opts["ratio"], cluster_threshold=opts["cluster_threshold"],
         well_state=_make_well(opts), use_jax=opts["use_jax"],
         shards=opts["shards"], reuse_blocks=reuse_blocks,
-        want_recon=bool(opts["uncompressed"]), prime=opts["prime"])
+        want_recon=bool(opts["uncompressed"]), prime=opts["prime"],
+        verbose=opts["verbose"])
     with open(output_name, "wb") as f:
         f.write(out.compressed)
     if opts["uncompressed"]:

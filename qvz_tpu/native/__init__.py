@@ -140,11 +140,12 @@ def load() -> ctypes.CDLL:
     lib.qvz_stats.restype = None
 
     lib.qvz_encode_fused.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p, c.c_int64]
+        c.c_void_p, u8p, c.c_uint64, u8p, u32p, dp, u8p, dp, u8p,
+        c.c_int64, c.c_int32]
     lib.qvz_encode_fused.restype = c.c_int64
 
     lib.qvz_decode_lines.argtypes = [
-        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u8p]
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u8p, c.c_int32]
     lib.qvz_decode_lines.restype = c.c_int32
 
     lib.qvz_encode_fused_colmajor.argtypes = [

@@ -1656,11 +1656,13 @@ void qvz_kmeans_iter(const uint8_t* data, uint64_t n_lines, uint32_t cols,
 // [n_lines*columns] symbols; pass null to skip). distortion_out receives
 // sum over lines of (per-line distortion sum / columns). Returns payload
 // bytes, or -(needed) if the output buffer is too small.
+// verbose != 0: per-million-line progress prints in the reference's
+// format (qv_compressor.c:79-81).
 int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
                          const uint8_t* cluster_ids,
                          const uint32_t* well_state, const double* dist,
                          uint8_t* recon, double* distortion_out,
-                         uint8_t* out, int64_t cap) {
+                         uint8_t* out, int64_t cap, int32_t verbose) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
@@ -1678,6 +1680,9 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
   std::vector<uint32_t> mbuf(columns);
   std::vector<uint8_t> xbuf(columns);
   for (uint64_t i = 0; i < n_lines; ++i) {
+    if (verbose && i % 1000000 == 0 && i) {
+      printf("Line: %dM\n", static_cast<int>(i / 1000000));
+    }
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
     const uint8_t* row = data + i * columns;
     uint8_t* rrow = recon ? recon + i * columns : nullptr;
@@ -2019,7 +2024,7 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
 int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
                          uint64_t payload_len, uint64_t n_lines,
                          const uint32_t* well_state, uint8_t* out,
-                         uint8_t* cluster_out) {
+                         uint8_t* cluster_out, int32_t verbose) {
   Tables* tb = static_cast<Tables*>(tables);
   uint32_t columns = tb->columns;
   ModelBank bank;
@@ -2029,6 +2034,9 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
   Well well(well_state);
 
   for (uint64_t i = 0; i < n_lines; ++i) {
+    if (verbose && i % 1000000 == 0 && i) {
+      printf("Line: %dM\n", static_cast<int>(i / 1000000));
+    }
     bool last_line = (i + 1 == n_lines);
     uint32_t c = dec.step(bank, 0);
     bank.update(0, c);

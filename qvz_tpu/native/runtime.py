@@ -266,7 +266,7 @@ def stats_host(data: np.ndarray, clusters: np.ndarray | None,
 
 def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
                  well_state_words, dist: np.ndarray | None = None,
-                 want_recon: bool = False):
+                 want_recon: bool = False, verbose: bool = False):
     """Fused quantize + arithmetic encode (inline WELL draws).
 
     Returns (payload bytes, recon or None, distortion_sum). The
@@ -293,7 +293,7 @@ def encode_fused(tables: Tables, data: np.ndarray, cluster_ids,
             _ptr(st, _u32p),
             _ptr(d, _dp) if d is not None else None,
             _ptr(recon, _u8p) if recon is not None else None,
-            ctypes.byref(dsum), _ptr(out, _u8p), cap)
+            ctypes.byref(dsum), _ptr(out, _u8p), cap, int(verbose))
         if r >= 0:
             return out[:r].tobytes(), recon, dsum.value
         cap = -r + 4096
@@ -459,7 +459,7 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
 
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
                  well_state_words, out: np.ndarray | None = None,
-                 cluster_out: bool = False):
+                 cluster_out: bool = False, verbose: bool = False):
     """Decode the payload to Phred+33 text bytes with newlines.
 
     `out` may be a preallocated C-contiguous uint8 buffer of
@@ -480,7 +480,8 @@ def decode_lines(tables: Tables, payload: bytes, n_lines: int,
     cl = np.empty(n_lines, dtype=np.uint8) if cluster_out else None
     r = lib.qvz_decode_lines(tables._h, _ptr(pay, _u8p), len(pay),
                              n_lines, _ptr(st, _u32p), _ptr(out, _u8p),
-                             _ptr(cl, _u8p) if cl is not None else None)
+                             _ptr(cl, _u8p) if cl is not None else None,
+                             int(verbose))
     if r != 0:
         raise ValueError(f"decode failed with status {r}")
     out = out.reshape(n_lines, cols + 1)

@@ -29,7 +29,8 @@ def _sane_output_size(lines: int, columns: int) -> None:
             f"to raise)")
 
 
-def decode(compressed: bytes, out: np.ndarray | None = None) -> np.ndarray:
+def decode(compressed: bytes, out: np.ndarray | None = None,
+           verbose: bool = False) -> np.ndarray:
     """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
 
     Accepts both the reference-compatible v1 container and the sharded
@@ -46,7 +47,8 @@ def decode(compressed: bytes, out: np.ndarray | None = None) -> np.ndarray:
     payload = compressed[pos + 128:]
     return rt.decode_lines(
         tables, payload, lines, well_words,
-        out=out.reshape(-1) if out is not None else None)
+        out=out.reshape(-1) if out is not None else None,
+        verbose=verbose)
 
 
 def _decode_v2(compressed: bytes, out: np.ndarray | None = None
@@ -124,7 +126,7 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
     return out
 
 
-def decode_to_file(compressed, path: str) -> int:
+def decode_to_file(compressed, path: str, verbose: bool = False) -> int:
     """Decode straight into a memory-mapped output file: shard threads
     write their line ranges in place and the OS flushes pages lazily —
     no second full-size copy at GB scale. `compressed` may be bytes or
@@ -141,12 +143,13 @@ def decode_to_file(compressed, path: str) -> int:
     _sane_output_size(lines, cols)
     mm = np.memmap(path, dtype=np.uint8, mode="w+",
                    shape=(lines, cols + 1))
-    decode(compressed, out=mm)
+    decode(compressed, out=mm, verbose=verbose)
     mm.flush()
     return lines
 
 
-def decode_file_to_file(in_path: str, out_path: str) -> int:
+def decode_file_to_file(in_path: str, out_path: str,
+                        verbose: bool = False) -> int:
     """Decode a container FILE without reading it into memory: the
     container is memory-mapped and shard payloads are sliced zero-copy
     (a whole-genome-scale QVZ2 container is tens of GB — reading it
@@ -156,4 +159,4 @@ def decode_file_to_file(in_path: str, out_path: str) -> int:
     if os.path.getsize(in_path) == 0:
         raise ValueError("empty container")
     mm_in = np.memmap(in_path, dtype=np.uint8, mode="r")
-    return decode_to_file(mm_in, out_path)
+    return decode_to_file(mm_in, out_path, verbose=verbose)

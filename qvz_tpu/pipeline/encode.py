@@ -117,7 +117,8 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
            mesh=None,
            reuse_blocks: bytes | None = None,
            want_recon: bool = True,
-           prime: bool = True) -> EncodeOutput:
+           prime: bool = True,
+           verbose: bool = False) -> EncodeOutput:
     """mesh: optional jax.sharding.Mesh with a 'reads' axis — the heavy
     statistics/clustering passes then run data-parallel over its devices
     with integer psum merging (bit-identical to the 1-device path).
@@ -178,7 +179,8 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
         return _finish_encode(data, dist_matrix, clusters, cluster_arr,
                               blocks, tables, n, columns, n_clusters,
                               shards, well_state, want_recon, stats, t3,
-                              use_jax=use_jax, mesh=mesh, prime=prime)
+                              use_jax=use_jax, mesh=mesh, prime=prime,
+                              verbose=verbose)
 
     # --- statistics ---------------------------------------------------------
     if mesh is not None:
@@ -207,7 +209,8 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     return _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks,
                           tables, n, columns, n_clusters, shards,
                           well_state, want_recon, stats, t3,
-                          use_jax=use_jax, mesh=mesh, prime=prime)
+                          use_jax=use_jax, mesh=mesh, prime=prime,
+                          verbose=verbose)
 
 
 def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
@@ -233,7 +236,8 @@ def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
 
 def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
                    n, columns, n_clusters, shards, well_state, want_recon,
-                   stats, t3, use_jax=False, mesh=None, prime=True):
+                   stats, t3, use_jax=False, mesh=None, prime=True,
+                   verbose=False):
     # --- fused quantize + dither + entropy coding -----------------------------
     well_bytes = well_state.to_bytes()
     order = [(well_state.n + i) & 31 for i in range(32)]
@@ -242,7 +246,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
     if shards == 1:
         payload, recon, dist_sum = rt.encode_fused(
             tables, data, clusters, state_words, dist=dist_matrix,
-            want_recon=want_recon)
+            want_recon=want_recon, verbose=verbose)
         payload_bytes = len(payload)
         compressed = None  # assembled below
     else:
