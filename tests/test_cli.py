@@ -147,3 +147,32 @@ def test_ragged_input_rejected(tmp_path, capsys):
                    str(tmp_path / "o.q")])
     assert rc == 1
     assert "line 2" in capsys.readouterr().out
+
+
+def test_cli_streaming_flag(tmp_path):
+    """--streaming produces a container byte-identical to the default
+    in-memory encode at the same shard plan."""
+    import numpy as np
+
+    from qvz_tpu import cli
+
+    rng = np.random.default_rng(9)
+    n, cols = 20000, 30
+    data = rng.integers(0, 60, size=(n, cols)).astype(np.uint8)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = data + 33
+    out[:, cols] = 10
+    inp = tmp_path / "s.in"
+    inp.write_bytes(out.tobytes())
+
+    a = tmp_path / "a.q"
+    b = tmp_path / "b.q"
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                     "--shards", "4", str(inp), str(a)]) == 0
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--streaming",
+                     "--shards", "4", str(inp), str(b)]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+    dec = tmp_path / "s.dec"
+    assert cli.main(["qvz", "-x", str(b), str(dec)]) == 0
+    assert dec.stat().st_size == out.nbytes
