@@ -49,3 +49,30 @@ def test_mse_check_compare():
     assert r["stats_line"] == ((4 / 2) + (9 / 2)) / 2
     with pytest.raises(ValueError, match="geometry"):
         mse_check.compare(a, b[:1], make_matrix(DISTORTION_MSE))
+
+
+def test_transcode_cli(tmp_path):
+    import numpy as np
+
+    from qvz_tpu import cli
+    from qvz_tpu.tools import transcode as tc
+
+    rng = np.random.default_rng(2)
+    n, cols = 4000, 25
+    data = rng.integers(0, 60, size=(n, cols)).astype(np.uint8)
+    out = np.empty((n, cols + 1), dtype=np.uint8)
+    out[:, :cols] = data + 33
+    out[:, cols] = 10
+    inp = tmp_path / "t.in"
+    inp.write_bytes(out.tobytes())
+    v1 = tmp_path / "t.v1.q"
+    assert cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                     str(inp), str(v1)]) == 0
+    v2 = tmp_path / "t.v2.q"
+    assert tc.main(["transcode", str(v1), str(v2), "--to", "v2",
+                    "--shards", "3"]) == 0
+    back = tmp_path / "t.back.q"
+    assert tc.main(["transcode", str(v2), str(back), "--to", "v1"]) == 0
+    assert back.read_bytes() == v1.read_bytes()
+    # bad args -> usage, nonzero
+    assert tc.main(["transcode", str(v1)]) == 1
