@@ -170,76 +170,88 @@ def main() -> None:
         # resident buffers). Run in a watchdogged subprocess — the shared-
         # tunnel TPU in this environment has unbounded cold-start variance
         # and must not be able to stall the headline measurement.
-        probe = (
-            "import time,numpy as np,jax,jax.numpy as jnp\n"
-            "from functools import partial\n"
-            "from qvz_tpu.ops.stats import _hist_device\n"
-            "from qvz_tpu.ops.quantize import _quantize_device\n"
-            "from qvz_tpu.ops.pallas_kernels import kmeans_step_fused,"
-            " pad_rows\n"
+        prelude = (
+            "import time,numpy as np,jax\n"
+            "import jax.numpy as jnp\n"
             "rng=np.random.default_rng(0)\n"
-            "d=rng.integers(0,72,size=(100_000,100)).astype(np.uint8)\n"
-            "x=jax.device_put(np.zeros(32*2**20,dtype=np.uint8))\n"
-            "x.block_until_ready()\n"
-            "t0=time.perf_counter(); x=jax.device_put(d); "
-            "x.block_until_ready()\n"
-            "print('h2d_MBps', d.nbytes/2**20/(time.perf_counter()-t0))\n"
-            "y=(x.astype(jnp.int32)+1); y.block_until_ready()\n"
-            "t0=time.perf_counter(); _=np.asarray(y)\n"
-            "print('d2h_MBps', y.nbytes/2**20/(time.perf_counter()-t0))\n"
-            "dd=jax.device_put(d); cl=jax.device_put(np.zeros(100_000,"
-            "dtype=np.uint8))\n"
-            "c0,cd=_hist_device(dd,cl,1); cd.block_until_ready()\n"
-            "t0=time.perf_counter()\n"
-            "for _ in range(10): c0,cd=_hist_device(dd,cl,1)\n"
-            "cd.block_until_ready()\n"
-            "print('hist_ms', (time.perf_counter()-t0)*100)\n"
-            "m=jnp.asarray(rng.integers(0,72,size=(4,100)),jnp.int32)\n"
-            "dp=jax.device_put(pad_rows(d))\n"
-            "a,s,c=kmeans_step_fused(dp,m,jnp.int32(100_000),4)\n"
-            "jax.block_until_ready((a,s,c))\n"
-            "t0=time.perf_counter()\n"
-            "for _ in range(10): a,s,c=kmeans_step_fused(dp,m,"
-            "jnp.int32(100_000),4)\n"
-            "jax.block_until_ready((a,s,c))\n"
-            "print('kmeans_ms', (time.perf_counter()-t0)*100)\n"
-            # quantize scan: device-resident inputs, device-resident
-            # outputs => pure chip rate for the batched per-symbol pass
-            "dt=jax.device_put(np.ascontiguousarray(d.T).astype("
-            "np.int32))\n"
-            "drw=jax.device_put(rng.integers(0,128,size=(100,100_000))"
-            ".astype(np.int32))\n"
-            "cb=jax.device_put(np.zeros(100_000,dtype=np.int32))\n"
-            "nm=8; ct=jax.device_put(np.zeros((100*72,),dtype=np.int32))\n"
-            "pb=jax.device_put(np.zeros(100,dtype=np.int32))\n"
-            "qr=jax.device_put(np.full(100,64,dtype=np.int32))\n"
-            "qv=jax.device_put(np.tile(np.arange(72,dtype=np.int32),"
-            "200))\n"
-            "f=lambda: _quantize_device(dt,drw,cb,100,ct,pb,qr,qv,qv)\n"
-            "o=f(); jax.block_until_ready(o)\n"
-            "t0=time.perf_counter()\n"
-            "for _ in range(10): o=f()\n"
-            "jax.block_until_ready(o)\n"
-            "print('quantize_ms', (time.perf_counter()-t0)*100)\n")
-        try:
-            env = dict(os.environ)
-            env["PYTHONPATH"] = (str(REPO) + os.pathsep
-                                 + env.get("PYTHONPATH", ""))
-            r = subprocess.run([sys.executable, "-c", probe], env=env,
-                               capture_output=True, text=True, timeout=300)
-            for line in r.stdout.splitlines():
-                if line.startswith(("hist_ms", "kmeans_ms",
-                                    "quantize_ms")):
-                    k, v = line.split()
-                    log(f"device/{k.replace('_ms','')}: {float(v):.2f} "
-                        "ms per 100k x 100 pass (steady-state, "
-                        "device-resident)")
-                elif line.startswith(("h2d_MBps", "d2h_MBps")):
-                    k, v = line.split()
-                    log(f"tunnel/{k.replace('_MBps','')}: "
-                        f"{float(v):.0f} MB/s")
-        except Exception as e:  # never let the TPU probe sink the bench
-            log(f"device probe skipped: {e}")
+            "d=rng.integers(0,72,size=(100_000,100)).astype(np.uint8)\n")
+        probes = {
+            "bandwidth": prelude + (
+                "x=jax.device_put(np.zeros(32*2**20,dtype=np.uint8))\n"
+                "x.block_until_ready()\n"
+                "t0=time.perf_counter(); x=jax.device_put(d); "
+                "x.block_until_ready()\n"
+                "print('h2d_MBps', d.nbytes/2**20/"
+                "(time.perf_counter()-t0))\n"
+                "y=(x.astype(jnp.int32)+1); y.block_until_ready()\n"
+                "t0=time.perf_counter(); _=np.asarray(y)\n"
+                "print('d2h_MBps', y.nbytes/2**20/"
+                "(time.perf_counter()-t0))\n"),
+            "hist": prelude + (
+                "from qvz_tpu.ops.stats import _hist_device\n"
+                "dd=jax.device_put(d); cl=jax.device_put("
+                "np.zeros(100_000,dtype=np.uint8))\n"
+                "c0,cd=_hist_device(dd,cl,1); cd.block_until_ready()\n"
+                "t0=time.perf_counter()\n"
+                "for _ in range(10): c0,cd=_hist_device(dd,cl,1)\n"
+                "cd.block_until_ready()\n"
+                "print('hist_ms', (time.perf_counter()-t0)*100)\n"),
+            "kmeans": prelude + (
+                "from qvz_tpu.ops.pallas_kernels import "
+                "kmeans_step_fused, pad_rows\n"
+                "m=jnp.asarray(rng.integers(0,72,size=(4,100)),"
+                "jnp.int32)\n"
+                "dp=jax.device_put(pad_rows(d))\n"
+                "a,s,c=kmeans_step_fused(dp,m,jnp.int32(100_000),4)\n"
+                "jax.block_until_ready((a,s,c))\n"
+                "t0=time.perf_counter()\n"
+                "for _ in range(10): a,s,c=kmeans_step_fused(dp,m,"
+                "jnp.int32(100_000),4)\n"
+                "jax.block_until_ready((a,s,c))\n"
+                "print('kmeans_ms', (time.perf_counter()-t0)*100)\n"),
+            "quantize": prelude + (
+                "from qvz_tpu.ops.quantize import _quantize_device\n"
+                "dt=jax.device_put(np.ascontiguousarray(d.T)"
+                ".astype(np.int32))\n"
+                "drw=jax.device_put(rng.integers(0,128,"
+                "size=(100,100_000)).astype(np.int32))\n"
+                "cb=jax.device_put(np.zeros(100_000,dtype=np.int32))\n"
+                "ct=jax.device_put(np.zeros((100*72,),dtype=np.int32))\n"
+                "pb=jax.device_put(np.zeros(100,dtype=np.int32))\n"
+                "qr=jax.device_put(np.full(100,64,dtype=np.int32))\n"
+                "qv=jax.device_put(np.tile(np.arange(72,dtype=np.int32),"
+                "200))\n"
+                "f=lambda: _quantize_device(dt,drw,cb,100,ct,pb,qr,"
+                "qv,qv)\n"
+                "o=f(); jax.block_until_ready(o)\n"
+                "t0=time.perf_counter()\n"
+                "for _ in range(10): o=f()\n"
+                "jax.block_until_ready(o)\n"
+                "print('quantize_ms', (time.perf_counter()-t0)*100)\n"),
+        }
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (str(REPO) + os.pathsep
+                             + env.get("PYTHONPATH", ""))
+        # Each probe gets its OWN subprocess + timeout: one tunnel
+        # stall must not lose the other telemetry lines.
+        for name, code in probes.items():
+            try:
+                r = subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=150)
+                for line in r.stdout.splitlines():
+                    if line.endswith("_ms") or "_ms " in line:
+                        k, v = line.split()
+                        log(f"device/{k.replace('_ms','')}: {float(v):.2f}"
+                            " ms per 100k x 100 pass (steady-state, "
+                            "device-resident)")
+                    elif line.startswith(("h2d_MBps", "d2h_MBps")):
+                        k, v = line.split()
+                        log(f"tunnel/{k.replace('_MBps','')}: "
+                            f"{float(v):.0f} MB/s")
+            except Exception as e:
+                log(f"device probe '{name}' skipped: "
+                    f"{type(e).__name__}")
 
         # --- device-engaging PRODUCTION leg (VERDICT r1 item 1): the
         # same sharded QVZ2 encode with the batched quantize scan forced
