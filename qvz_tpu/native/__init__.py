@@ -119,10 +119,6 @@ def load() -> ctypes.CDLL:
         c.c_void_p, u8p, c.c_uint64, u8p, u8p, u32p, u8p, u8p]
     lib.qvz_quantize.restype = None
 
-    lib.qvz_encode_payload.argtypes = [
-        u32p, u8p, c.c_uint64, u32p, c.c_uint32, u8p, c.c_int64]
-    lib.qvz_encode_payload.restype = c.c_int64
-
     lib.qvz_encode_lines.argtypes = [
         u8p, u32p, u8p, c.c_uint64, c.c_uint32, u32p, c.c_uint32, u8p,
         c.c_int64]

@@ -1324,28 +1324,6 @@ void qvz_quantize(void* tables, const uint8_t* data, uint64_t n_lines,
   }
 }
 
-// --- payload encode -------------------------------------------------------
-
-// Encodes the interleaved (model, symbol) stream. Returns payload bytes,
-// or -(needed) if the output buffer is too small (retry with a larger one).
-int64_t qvz_encode_payload(const uint32_t* model_ids, const uint8_t* syms,
-                           uint64_t n_syms, const uint32_t* model_cards,
-                           uint32_t n_models, uint8_t* out, int64_t cap) {
-  ModelBank bank;
-  bank.init(model_cards, n_models);
-  BitWriter bw(out, cap);
-  Encoder enc(&bw);
-  for (uint64_t i = 0; i < n_syms; ++i) {
-    uint32_t m = model_ids[i];
-    uint32_t x = syms[i];
-    enc.step(bank, m, x);
-    bank.update(m, x);
-  }
-  int64_t n = enc.finish();
-  if (bw.overflow) return -n;
-  return n;
-}
-
 // Line-structured encode: cluster symbol then each column's symbol, the
 // exact stream order of qv_compressor.c:76-137. model_ids/syms hold only
 // the per-column entries; cluster ids are coded with model 0.
