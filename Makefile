@@ -7,6 +7,7 @@ PY ?= python
 CXX ?= g++
 NATIVE_DIR := qvz_tpu/native
 SAN_FLAGS := -O1 -g -std=c++17 -fno-omit-frame-pointer \
+  -I$(NATIVE_DIR) \
   $(NATIVE_DIR)/qvz_rt.cpp $(NATIVE_DIR)/sanitize_harness.cpp
 
 .PHONY: all native test test-fast test-tpu bench tsan asan clean

@@ -18,6 +18,7 @@ import tempfile
 
 _DIR = pathlib.Path(__file__).parent
 _SRC = _DIR / "qvz_rt.cpp"
+_HDR = _DIR / "qvz_rt.h"
 
 _CXXFLAGS = [
     "-O3", "-std=c++17", "-shared", "-fPIC",
@@ -34,7 +35,8 @@ _CXXFLAGS = [
 
 
 def _lib_path() -> pathlib.Path:
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    tag = hashlib.sha256(_SRC.read_bytes()
+                         + _HDR.read_bytes()).hexdigest()[:16]
     cache = pathlib.Path(
         os.environ.get("QVZ_TPU_CACHE",
                        pathlib.Path.home() / ".cache" / "qvz_tpu"))
@@ -45,7 +47,8 @@ def _lib_path() -> pathlib.Path:
 def _build(path: pathlib.Path) -> None:
     with tempfile.TemporaryDirectory() as td:
         tmp = pathlib.Path(td) / path.name
-        cmd = ["g++", *_CXXFLAGS, "-o", str(tmp), str(_SRC)]
+        cmd = ["g++", *_CXXFLAGS, f"-I{_DIR}", "-o", str(tmp),
+               str(_SRC)]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, path)
 

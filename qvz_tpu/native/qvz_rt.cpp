@@ -34,6 +34,8 @@
 #include <vector>
 #include <string>
 
+#include "qvz_rt.h"
+
 namespace {
 
 constexpr int A = 72;                 // alphabet size

@@ -23,27 +23,7 @@
 #include <thread>
 #include <vector>
 
-extern "C" {
-void* qvz_design_create(const uint64_t*, const uint64_t*, uint32_t, uint32_t,
-                        int32_t, double, const double*);
-int64_t qvz_design_serialized_size(void*);
-void qvz_design_serialized(void*, uint8_t*);
-void qvz_design_free(void*);
-void* qvz_tables_from_design(void*);
-void qvz_tables_free(void*);
-void qvz_stats(const uint8_t*, uint64_t, uint32_t, const uint8_t*, uint64_t*,
-               uint64_t*);
-void qvz_kmeans_iter(const uint8_t*, uint64_t, uint32_t, const int64_t*,
-                     uint32_t, uint8_t*, int64_t*, int64_t*);
-void qvz_well_jump(const uint32_t*, uint32_t, uint64_t, uint32_t*);
-int64_t qvz_encode_fused_colmajor(void*, const uint8_t*, uint64_t,
-                                  const uint8_t*, const uint32_t*,
-                                  const double*, uint8_t*, double*, uint8_t*,
-                                  int64_t, const uint32_t*, uint32_t*);
-int32_t qvz_decode_colmajor(void*, const uint8_t*, uint64_t, uint64_t,
-                            const uint32_t*, uint8_t*, const uint32_t*,
-                            uint32_t*, uint8_t*);
-}
+#include "qvz_rt.h"
 
 static const int A = 72;
 
@@ -157,7 +137,8 @@ int main() {
         std::vector<uint8_t> out(n * (cols + 1));
         int32_t rc = qvz_decode_colmajor(tables, payloads[t].data(), r, n,
                                          &states[32 * t], out.data(),
-                                         nullptr, nullptr, nullptr);
+                                         nullptr, nullptr, nullptr,
+                                         nullptr);
         assert(rc == 0);
         for (uint64_t i = 0; i < n; ++i)
           for (uint32_t c = 0; c < cols; ++c)
@@ -220,7 +201,7 @@ int main() {
         std::vector<uint8_t> out(n * (cols + 1));
         int32_t rc = qvz_decode_colmajor(
             tables, pay.data(), r, n, &states[32 * (t + 1)], out.data(),
-            bank.data(), nullptr, nullptr);
+            bank.data(), nullptr, nullptr, nullptr);
         assert(rc == 0);
       });
     }
