@@ -252,13 +252,24 @@ def _run(opts, extract, input_name, output_name) -> int:
 
     stream_min = int(os.environ.get("QVZ_TPU_STREAM_MIN_BYTES",
                                     1 * 2**30))
-    if (opts.get("streaming")
-            or os.path.getsize(input_name) >= stream_min) \
+    # Auto-streaming engages above the size threshold only when the
+    # option set is compatible: never with --reuse-books / -u (those
+    # fall back to the in-memory path instead of erroring), and never
+    # when the user kept the default --shards 1 (that promises a
+    # reference-compatible v1 container, which streaming — a QVZ2-only
+    # mode — would silently break). Explicit --streaming still errors
+    # on a genuinely unsupported combination.
+    auto_stream = (not opts.get("streaming")
+                   and os.path.getsize(input_name) >= stream_min
+                   and opts["shards"] != 1
+                   and not opts.get("reuse_books")
+                   and not opts.get("uncompressed"))
+    if (opts.get("streaming") or auto_stream) \
             and opts.get("hosts", 1) == 1:
         # Bounded-memory streaming encode (QVZ2 only).
-        if opts.get("reuse_books") or opts.get("uncompressed"):
+        if opts.get("reuse_books"):
             raise ValueError(
-                "--streaming does not support --reuse-books or -u")
+                "--streaming does not support --reuse-books")
         from qvz_tpu.pipeline.streaming import encode_streaming
         st = encode_streaming(
             input_name, output_name, n_clusters=opts["clusters"],
@@ -266,7 +277,8 @@ def _run(opts, extract, input_name, output_name) -> int:
             cluster_threshold=opts["cluster_threshold"],
             well_state=_make_well(opts), dist_matrix=dist,
             shards=opts["shards"] if opts["shards"] != 1 else 0,
-            prime=opts["prime"])
+            prime=opts["prime"],
+            recon_path=opts.get("uncompressed"))
         elapsed = time.perf_counter() - t0
         if opts["verbose"]:
             print(f"Streaming encode: {st['shards']} shards, "

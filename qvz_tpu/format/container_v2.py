@@ -121,13 +121,20 @@ def build(blocks: bytes, cluster_count: int, columns: int, lines: int,
     return bytes(out)
 
 
-def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
+def parse(data: bytes, blocks_len: int | None = None,
+          payload_limit: int | None = None) -> ContainerV2:
     """Parse header + shard directory.
 
     blocks_len: length of the codebook-blocks span; pass None to have
     the caller locate it via Tables.consumed (parse in two steps: call
     with blocks_len=None to read the fixed header only — blocks/shards
     empty — then again with the measured length).
+
+    payload_limit: validate payload extents against this total size
+    instead of len(data) — lets a caller parse the directory from a
+    small prefix of a large memory-mapped container (the payload bytes
+    live past the prefix but inside the real file). The directory
+    itself must still fit in `data`.
     """
     if len(data) < _HEAD.size:
         raise ValueError("truncated QVZ2 container (short header)")
@@ -163,7 +170,7 @@ def parse(data: bytes, blocks_len: int | None = None) -> ContainerV2:
     for nl, plen, st, ck in metas:
         head.shards.append(ShardInfo(nl, pos, plen, st, ck))
         pos += plen
-    if pos > len(data):
+    if pos > (payload_limit if payload_limit is not None else len(data)):
         raise ValueError("truncated QVZ2 container (short payload)")
     if sum(s.lines for s in head.shards) != lines:
         raise ValueError("shard line counts do not sum to total lines")

@@ -1660,7 +1660,7 @@ int64_t qvz_encode_fused(void* tables, const uint8_t* data, uint64_t n_lines,
   std::vector<uint32_t> mbuf(columns);
   std::vector<uint8_t> xbuf(columns);
   for (uint64_t i = 0; i < n_lines; ++i) {
-    if (verbose && i % 1000000 == 0 && i) {
+    if (verbose && i % 1000000 == 0) {
       printf("Line: %dM\n", static_cast<int>(i / 1000000));
     }
     uint32_t c = cluster_ids ? cluster_ids[i] : 0;
@@ -2014,7 +2014,10 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
   Well well(well_state);
 
   for (uint64_t i = 0; i < n_lines; ++i) {
-    if (verbose && i % 1000000 == 0 && i) {
+    // Reference prints at lineCtr 0, 1M, ... but its loop runs only to
+    // lines-2 (the final line is special-cased past the print,
+    // qv_compressor.c:163-167) — hence the i + 1 < n_lines guard.
+    if (verbose && i % 1000000 == 0 && i + 1 < n_lines) {
       printf("Line: %dM\n", static_cast<int>(i / 1000000));
     }
     bool last_line = (i + 1 == n_lines);

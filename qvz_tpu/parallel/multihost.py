@@ -170,8 +170,11 @@ def _decode_worker_main(port: int, container_path: str, out_path: str
     while True:
         msg = conn.recv()
         if msg[0] == "decode":
-            (blocks, n_clusters, columns, metas, line_offs, bank) = msg[1:]
+            (blocks, n_clusters, columns, order, metas, line_offs,
+             bank) = msg[1:]
             from concurrent.futures import ThreadPoolExecutor
+
+            from qvz_tpu.format import container_v2
 
             tables = rt.tables_from_blocks(blocks, n_clusters, columns)
             fd = os.open(out_path, os.O_WRONLY)
@@ -181,10 +184,18 @@ def _decode_worker_main(port: int, container_path: str, out_path: str
                 payload = bytes(comp[off:off + plen])
                 if rt.xxh64(payload) != ck:
                     raise ValueError(f"shard checksum mismatch at {off}")
-                out = rt.decode_colmajor(
-                    tables, payload, nl,
-                    np.frombuffer(well, dtype="<u4"),
-                    init_bank=bank)
+                # order dispatch mirrors pipeline.decode._decode_v2;
+                # line-major shards never carry a primed bank (the
+                # coordinator rejects priming + ORDER_LINE up front).
+                if order == container_v2.ORDER_COL:
+                    out = rt.decode_colmajor(
+                        tables, payload, nl,
+                        np.frombuffer(well, dtype="<u4"),
+                        init_bank=bank)
+                else:
+                    out = rt.decode_lines(
+                        tables, payload, nl,
+                        np.frombuffer(well, dtype="<u4"))
                 os.pwrite(fd, out.tobytes(),
                           line_offs[i] * (columns + 1))
                 return nl
@@ -204,6 +215,30 @@ def _decode_worker_main(port: int, container_path: str, out_path: str
 
 # ---------------------------------------------------------------------------
 # Coordinator.
+
+
+def _accept_checked(listener, proc, timeout: float = 120.0):
+    """listener.accept() that fails fast instead of hanging forever when
+    the just-launched worker dies before connecting (import failure,
+    OOM, bad PYTHONPATH). Waits for the listening socket to become
+    readable in 1 s slices, checking the worker process in between."""
+    import selectors
+
+    sock = listener._listener._socket
+    deadline = time.monotonic() + timeout
+    with selectors.DefaultSelector() as sel:
+        sel.register(sock, selectors.EVENT_READ)
+        while True:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"multihost worker exited with code {proc.returncode} "
+                    "before connecting back")
+            if sel.select(timeout=1.0):
+                return listener.accept()
+            if time.monotonic() > deadline:
+                proc.kill()
+                raise RuntimeError(
+                    "timed out waiting for multihost worker to connect")
 
 
 def _shard_plan(n: int, columns: int, shards: int, warmup: int = 0):
@@ -286,8 +321,8 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                 f"_worker_main({port}, {path!r}, {int(offs[s0])}, "
                 f"{int(offs[s1])}, {columns}, {bool(use_jax)})")
         p = subprocess.Popen([sys.executable, "-c", code], env=env)
-        conns.append(listener.accept())  # accept right after launch:
         procs.append(p)                  # conn h <-> host h
+        conns.append(_accept_checked(listener, p))
     stats = {"hosts": n_hosts, "shards": S, "lines": n, "columns": columns}
 
     try:
@@ -430,14 +465,20 @@ def decode_multihost(container_path: str, out_path: str, *,
     tables = rt.tables_from_blocks(
         head_bytes[container_v2.header_size():], head.cluster_count,
         head.columns)
-    # directory fits comfortably in the first MB for any sane shard
-    # count; re-read with the full buffer if not
+    # The directory fits in the first MB for any sane shard count;
+    # payload extents are validated against the real file size
+    # (payload_limit) so the prefix parse succeeds without copying the
+    # whole container into memory. Fall back to a full read only when
+    # the directory itself overflows the prefix.
     try:
-        head = container_v2.parse(head_bytes, blocks_len=tables.consumed)
+        head = container_v2.parse(head_bytes, blocks_len=tables.consumed,
+                                  payload_limit=comp.size)
     except ValueError:
         head = container_v2.parse(bytes(comp), blocks_len=tables.consumed)
     cols = head.columns
     n = head.lines
+    if head.priming and head.order != container_v2.ORDER_COL:
+        raise ValueError("primed QVZ2 requires column-major order")
 
     # pre-size the output file
     with open(out_path, "wb") as f:
@@ -485,7 +526,7 @@ def decode_multihost(container_path: str, out_path: str, *,
                         f"{port}, {container_path!r}, {out_path!r})")
                 procs.append(subprocess.Popen(
                     [sys.executable, "-c", code], env=env))
-                conns.append(listener.accept())
+                conns.append(_accept_checked(listener, procs[-1]))
             for h, idxs in enumerate(ranges):
                 metas = [(head.shards[i].payload_off,
                           head.shards[i].payload_len,
@@ -493,7 +534,7 @@ def decode_multihost(container_path: str, out_path: str, *,
                           head.shards[i].well_state,
                           head.shards[i].checksum) for i in idxs]
                 conns[h].send(("decode", blocks, head.cluster_count,
-                               cols, metas,
+                               cols, head.order, metas,
                                [int(line_offs[i]) for i in idxs], bank))
             total = 0
             for c in conns:

@@ -8,10 +8,32 @@ codebook tables are parsed.
 
 from __future__ import annotations
 
+import functools
+import struct
+
 import numpy as np
 
 from qvz_tpu.format import container, container_v2
 from qvz_tpu.native import runtime as rt
+
+
+def _malformed_raises_valueerror(fn):
+    """Error-type convergence at the decode boundary: a malformed or
+    hostile container must always surface as ValueError, whatever the
+    parsing internals tripped over (short-buffer slicing, struct
+    unpacking, ctypes width conversion, an absurd claimed geometry
+    blowing the allocator). The reference has no validation at all
+    (codebook.c:560-586 trusts every byte); converging on one exception
+    type is what makes ours testable and catchable."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (IndexError, OverflowError, MemoryError,
+                struct.error) as e:
+            raise ValueError(
+                f"malformed container ({type(e).__name__}: {e})") from e
+    return wrapper
 
 
 def _sane_output_size(lines: int, columns: int) -> None:
@@ -29,6 +51,7 @@ def _sane_output_size(lines: int, columns: int) -> None:
             f"to raise)")
 
 
+@_malformed_raises_valueerror
 def decode(compressed: bytes, out: np.ndarray | None = None,
            verbose: bool = False) -> np.ndarray:
     """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
@@ -126,6 +149,7 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
     return out
 
 
+@_malformed_raises_valueerror
 def decode_to_file(compressed, path: str, verbose: bool = False) -> int:
     """Decode straight into a memory-mapped output file: shard threads
     write their line ranges in place and the OS flushes pages lazily —

@@ -92,7 +92,8 @@ def encode_streaming(input_path: str, output_path: str, *,
                      max_shard_lines: int = 1_000_000,
                      chunk_lines: int = 1_000_000,
                      prime: bool = True,
-                     reuse_blocks: bytes | None = None) -> dict:
+                     reuse_blocks: bytes | None = None,
+                     recon_path: str | None = None) -> dict:
     """Encode a quality file to a QVZ2 container with bounded memory.
 
     Returns a stats dict (rate, distortion, payload_bytes, phase
@@ -100,7 +101,13 @@ def encode_streaming(input_path: str, output_path: str, *,
     workers*max_shard_lines*cols (coding).
 
     reuse_blocks: serialized codebook blocks from a previous container
-    (checkpoint/resume): skips the statistics and design phases."""
+    (checkpoint/resume): skips the statistics and design phases.
+
+    recon_path: write the lossy reconstruction (`-u`, Phred+33 text
+    with newlines — reference write path qv_compressor.c:100-115) to
+    this file, streamed per shard into a memory-mapped output so peak
+    memory stays bounded; byte-identical to the in-memory path's
+    reconstruction (same quantization decisions)."""
     if well_state is None:
         well_state = WellState.debug()
     if dist_matrix is None:
@@ -231,6 +238,14 @@ def encode_streaming(input_path: str, output_path: str, *,
     next_to_write = 0
     dist_total = 0.0
 
+    # -u: shard workers write their reconstruction rows straight into a
+    # memory-mapped text file; the OS flushes pages lazily, so RSS stays
+    # at O(workers * shard) even at GB scale.
+    recon_mm = None
+    if recon_path is not None:
+        recon_mm = np.memmap(recon_path, dtype=np.uint8, mode="w+",
+                             shape=(n, columns + 1))
+
     def write_ready(s, payload):
         nonlocal next_to_write
         pending[s] = payload
@@ -246,9 +261,13 @@ def encode_streaming(input_path: str, output_path: str, *,
         r = rt.encode_fused_colmajor(
             tables, data_t,
             assign[lo:hi] if assign is not None else None,
-            states[s], dist=dist_matrix, want_recon=False,
+            states[s], dist=dist_matrix,
+            want_recon=recon_mm is not None,
             init_bank=init_bank, want_bank=want_bank)
         del data_t
+        if recon_mm is not None:
+            recon_mm[lo:hi, :columns] = r[1] + PHRED_OFFSET
+            recon_mm[lo:hi, columns] = ord("\n")
         _drop_pages(mm, columns, lo, hi)
         return r
 
@@ -273,6 +292,9 @@ def encode_streaming(input_path: str, output_path: str, *,
     with ThreadPoolExecutor(max_workers=ncpu) as ex:
         list(ex.map(worker, range(first, S)))
     assert next_to_write == S
+    if recon_mm is not None:
+        recon_mm.flush()
+        del recon_mm
 
     # backpatch the directory
     out_f.seek(dir_pos)

