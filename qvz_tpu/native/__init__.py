@@ -168,5 +168,9 @@ def load() -> ctypes.CDLL:
         u8p, u8p]
     lib.qvz_decode_colmajor.restype = c.c_int32
 
+    lib.qvz_replay_model.argtypes = [
+        u32p, c.c_uint32, c.c_uint32, u8p, c.c_uint64, u32p]
+    lib.qvz_replay_model.restype = None
+
     _lib = lib
     return lib

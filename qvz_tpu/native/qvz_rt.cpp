@@ -1899,6 +1899,39 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
   return n;
 }
 
+// Exact single-model replay (see qvz_rt.h): the device coder's pass-1
+// triple computation assumes no mid-shard rescale (exactly checked,
+// rare for column models at device shard sizes) — but the cluster-id
+// model sees one update per LINE and does rescale; its triples are
+// replayed here at memory speed and shipped to the device instead.
+// Reference semantics: cum scan arith.c:40-43, update qv_stream.c:9-25.
+void qvz_replay_model(const uint32_t* init_counts, uint32_t card,
+                      uint32_t init_total, const uint8_t* syms,
+                      uint64_t n, uint32_t* out_triples) {
+  std::vector<uint32_t> c(init_counts, init_counts + card);
+  uint32_t total = init_total;
+  for (uint64_t i = 0; i < n; ++i) {
+    uint32_t x = syms[i];
+    uint32_t cum = 0;
+    for (uint32_t k = 0; k < x; ++k) cum += c[k];
+    out_triples[i * 3] = cum;
+    out_triples[i * 3 + 1] = cum + c[x];
+    out_triples[i * 3 + 2] = total;
+    c[x] += kStep;
+    uint32_t nn = total + kStep;
+    if (nn > kArithR) {
+      nn = 0;
+      for (uint32_t k = 0; k < card; ++k) {
+        if (c[k]) {
+          c[k] = (c[k] >> 1) + 1;
+          nn += c[k];
+        }
+      }
+    }
+    total = nn;
+  }
+}
+
 // Column-major decode matching qvz_encode_fused_colmajor. Writes
 // Phred+33 text lines with newlines into out ((columns+1) per line).
 // draws_t_in (optional): precomputed column-major dither draws — lets

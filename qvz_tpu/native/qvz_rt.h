@@ -103,4 +103,13 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint8_t* cluster_out,
                             const uint8_t* draws_t_in);
 
+// Exact adaptive-model replay for ONE model: per-occurrence
+// (cum_lo, cum_hi, total) triples with the full update semantics
+// (counts += 8, halve+1 rescale past r — qv_stream.c:9-25). Host-side
+// feeder for the device coder's cluster-id segment, where rescales CAN
+// occur (the device pass handles only the rescale-free column models).
+void qvz_replay_model(const uint32_t* init_counts, uint32_t card,
+                      uint32_t init_total, const uint8_t* syms,
+                      uint64_t n, uint32_t* out_triples);
+
 }  // extern "C"

@@ -35,6 +35,20 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return int(lib.qvz_xxh64(_ptr(buf, _u8p), len(data), seed))
 
 
+def replay_model(init_counts: np.ndarray, init_total: int,
+                 syms: np.ndarray) -> np.ndarray:
+    """Exact per-occurrence (cum_lo, cum_hi, total) triples for ONE
+    adaptive model, with full update semantics incl. rescale
+    (qv_stream.c:9-25). Feeds the device coder's cluster-id segment."""
+    lib = native.load()
+    ic = np.ascontiguousarray(init_counts, dtype=np.uint32)
+    s = np.ascontiguousarray(syms, dtype=np.uint8)
+    out = np.empty((len(s), 3), dtype=np.uint32)
+    lib.qvz_replay_model(_ptr(ic, _u32p), len(ic), int(init_total),
+                         _ptr(s, _u8p), len(s), _ptr(out, _u32p))
+    return out
+
+
 def well_jump(state_words, n_chunks: int, words_per_chunk: int
               ) -> np.ndarray:
     """GF(2) jump-ahead start states (n=0 semantics) for n_chunks

@@ -9,10 +9,12 @@ HIGHEST index, the reference needs lowest — the kernels use explicit
 min-index-over-minima, so tie-heavy inputs are part of the on-chip data.
 """
 
+import json
 import os
 import pathlib
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -20,12 +22,34 @@ pytestmark = pytest.mark.tpu
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
+# Machine-readable ran/stalled record (VERDICT r2 weak item 4): a
+# chronically stalled tunnel used to yield a green `make test-tpu` that
+# validated nothing, with the evidence only in log text. Every on-chip
+# attempt now appends {test, outcome, seconds} here; bench.py folds the
+# tally into its JSON telemetry so the round record carries it.
+TALLY = REPO / "build" / "onchip_tally.json"
+
+
+def _record(test: str, outcome: str, seconds: float) -> None:
+    TALLY.parent.mkdir(exist_ok=True)
+    rows = []
+    if TALLY.exists():
+        try:
+            rows = json.loads(TALLY.read_text())
+        except (ValueError, OSError):
+            rows = []
+    rows.append({"test": test, "outcome": outcome, "ts": time.time(),
+                 "seconds": round(seconds, 1)})
+    TALLY.write_text(json.dumps(rows, indent=1))
+
 
 def _run_onchip(script: str, timeout: int = 560) -> str:
+    test = os.environ.get("PYTEST_CURRENT_TEST", "?").split(" ")[0]
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # undo the CPU forcing of conftest
     env["XLA_FLAGS"] = ""  # no virtual host devices
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.perf_counter()
     try:
         r = subprocess.run([sys.executable, "-c", script], env=env,
                            capture_output=True, text=True, timeout=timeout)
@@ -33,7 +57,10 @@ def _run_onchip(script: str, timeout: int = 560) -> str:
         # The shared tunnel stalls for minutes at a time; that is an
         # environment condition, not a kernel regression — skip so the
         # gate stays meaningful (real assertion failures still FAIL).
+        _record(test, "stalled", time.perf_counter() - t0)
         pytest.skip(f"TPU tunnel stalled (> {timeout}s)")
+    _record(test, "ran" if r.returncode == 0 else "failed",
+            time.perf_counter() - t0)
     assert r.returncode == 0, f"on-chip script failed:\n{r.stderr[-2000:]}"
     return r.stdout
 
@@ -96,3 +123,38 @@ assert 'quantize' in dev.stats.device_seconds
 print('device encode parity on-chip OK')
 """)
     assert "device encode parity on-chip OK" in out
+
+
+def test_device_coder_32_lanes_on_chip():
+    """The lane-parallel arithmetic ENCODER on the real chip: a 32-shard
+    QVZ2 container byte-identical to the host coder (VERDICT r2
+    next-round item 1's done-gate). Includes the compiled-Mosaic/XLA
+    integer semantics the CPU backend cannot vouch for."""
+    out = _run_onchip("""
+import numpy as np, jax, time
+assert any(d.platform != 'cpu' for d in jax.devices()), jax.devices()
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import encode as enc
+
+rng = np.random.default_rng(13)
+n, cols = 66000, 40
+start = rng.integers(20, 45, size=(n, 1))
+steps = rng.integers(-3, 4, size=(n, cols - 1))
+data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+               71).astype(np.uint8)
+dist = make_matrix(DISTORTION_MSE)
+kw = dict(ratio=0.5, well_state=WellState.debug(), shards=32,
+          prime=False, want_recon=False)
+host = enc.encode(data, dist, use_jax=False, **kw)
+t0 = time.perf_counter()
+dev = enc.encode(data, dist, use_jax=True, **kw)
+dt = time.perf_counter() - t0
+assert host.compressed == dev.compressed, 'device coder divergence'
+assert 'device_code' in dev.stats.device_seconds
+assert dev.stats.coder_fallback_lanes == 0
+print(f'device coder 32-lane parity on-chip OK '
+      f'({n * cols / max(dev.stats.phase_seconds["device_code"], 1e-9) / 1e6:.1f} Msym/s coder phase, total {dt:.1f}s)')
+""")
+    assert "device coder 32-lane parity on-chip OK" in out
