@@ -173,6 +173,8 @@ def main() -> None:
         prelude = (
             "import time,numpy as np,jax\n"
             "import jax.numpy as jnp\n"
+            "print('device_kind', jax.devices()[0].device_kind"
+            ".replace(' ','_'))\n"
             "rng=np.random.default_rng(0)\n"
             "d=rng.integers(0,72,size=(100_000,100)).astype(np.uint8)\n")
         probes = {
@@ -228,30 +230,107 @@ def main() -> None:
                 "for _ in range(10): o=f()\n"
                 "jax.block_until_ready(o)\n"
                 "print('quantize_ms', (time.perf_counter()-t0)*100)\n"),
+            "coder": prelude + (
+                "from qvz_tpu.ops.coder_device import _pass2\n"
+                "W,steps=256,39063\n"  # ~10M syms, device-lane shape
+                "tl=jnp.zeros((steps,W),jnp.uint32)\n"
+                "th=jnp.ones((steps,W),jnp.uint32)\n"
+                "tn=jnp.ones((steps,W),jnp.uint32)\n"
+                "c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
+                "best=1e9\n"
+                "for _ in range(3):\n"
+                "    t0=time.perf_counter()\n"
+                "    c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
+                "    best=min(best,time.perf_counter()-t0)\n"
+                "print('coder_pass2_ms', best*1000)\n"),
         }
         env = dict(os.environ)
         env["PYTHONPATH"] = (str(REPO) + os.pathsep
                              + env.get("PYTHONPATH", ""))
-        # Each probe gets its OWN subprocess + timeout: one tunnel
-        # stall must not lose the other telemetry lines.
+        # Each probe gets its OWN subprocess + timeout, and is RETRIED
+        # with backoff on a stall (VERDICT r2 weak item 3: a single
+        # tunnel stall used to lose the round's bandwidth datum). All
+        # probe results land in the structured `telemetry` dict carried
+        # on the final JSON line, not just the log tail.
+        telemetry: dict = {"probe_stalls": 0}
         for name, code in probes.items():
+            got = False
+            for attempt in range(3):
+                try:
+                    r = subprocess.run([sys.executable, "-c", code],
+                                       env=env, capture_output=True,
+                                       text=True, timeout=150 + 100 * attempt)
+                    for line in r.stdout.splitlines():
+                        if line.endswith("_ms") or "_ms " in line:
+                            k, v = line.split()
+                            telemetry[k] = round(float(v), 3)
+                            log(f"device/{k.replace('_ms','')}: "
+                                f"{float(v):.2f} ms per 100k x 100 pass "
+                                "(steady-state, device-resident)")
+                            got = True
+                        elif line.startswith(("h2d_MBps", "d2h_MBps")):
+                            k, v = line.split()
+                            telemetry[k] = round(float(v), 1)
+                            log(f"tunnel/{k.replace('_MBps','')}: "
+                                f"{float(v):.0f} MB/s")
+                            got = True
+                    if got:
+                        break
+                    log(f"device probe '{name}' attempt {attempt + 1}: "
+                        f"no output rc={r.returncode}")
+                except subprocess.TimeoutExpired:
+                    telemetry["probe_stalls"] += 1
+                    log(f"device probe '{name}' attempt {attempt + 1} "
+                        "stalled; retrying")
+                except Exception as e:
+                    log(f"device probe '{name}' skipped: "
+                        f"{type(e).__name__}")
+                    break
+            if not got:
+                telemetry[f"{name}_missing"] = True
+
+        # --- roofline / utilization accounting (VERDICT r2 missing
+        # item 3): relate each kernel's steady-state time to the chip's
+        # HBM-bandwidth and MXU peaks via explicit-traffic models.
+        from qvz_tpu.utils import roofline as rl
+        kind = str(telemetry.get("device_kind", "unknown"))
+        peaks = rl.peaks_for(kind.replace("_", " "))
+        util = {}
+        if "hist_ms" in telemetry:
+            util["hist"] = rl.utilization(
+                rl.hist_bytes(100_000, 100, 1),
+                telemetry["hist_ms"] / 1e3 / 10, peaks)
+        if "kmeans_ms" in telemetry:
+            util["kmeans"] = rl.utilization(
+                rl.kmeans_bytes(100_000, 100, 4),
+                telemetry["kmeans_ms"] / 1e3 / 10, peaks,
+                flops=rl.kmeans_flops(100_000, 100, 4))
+        if "quantize_ms" in telemetry:
+            util["quantize"] = rl.utilization(
+                rl.quantize_bytes(100_000, 100),
+                telemetry["quantize_ms"] / 1e3 / 10, peaks)
+        if "coder_pass2_ms" in telemetry:
+            util["coder_pass2"] = rl.utilization(
+                rl.coder_pass2_bytes(39063, 256),
+                telemetry["coder_pass2_ms"] / 1e3, peaks)
+        if util:
+            telemetry["utilization"] = util
+            log(f"utilization vs {peaks.name} peaks: "
+                + " ".join(f"{k}={v['pct_hbm_peak']}%HBM"
+                           for k, v in util.items()))
+
+        # fold in the on-chip-gate ran/stalled tally (tests append to
+        # build/onchip_tally.json; VERDICT r2 weak item 4)
+        tally_p = REPO / "build" / "onchip_tally.json"
+        if tally_p.exists():
             try:
-                r = subprocess.run([sys.executable, "-c", code], env=env,
-                                   capture_output=True, text=True,
-                                   timeout=150)
-                for line in r.stdout.splitlines():
-                    if line.endswith("_ms") or "_ms " in line:
-                        k, v = line.split()
-                        log(f"device/{k.replace('_ms','')}: {float(v):.2f}"
-                            " ms per 100k x 100 pass (steady-state, "
-                            "device-resident)")
-                    elif line.startswith(("h2d_MBps", "d2h_MBps")):
-                        k, v = line.split()
-                        log(f"tunnel/{k.replace('_MBps','')}: "
-                            f"{float(v):.0f} MB/s")
-            except Exception as e:
-                log(f"device probe '{name}' skipped: "
-                    f"{type(e).__name__}")
+                rows = json.loads(tally_p.read_text())
+                telemetry["onchip_ran"] = sum(
+                    1 for r in rows if r.get("outcome") == "ran")
+                telemetry["onchip_stalled"] = sum(
+                    1 for r in rows if r.get("outcome") == "stalled")
+            except ValueError:
+                pass
 
         # --- device-engaging PRODUCTION leg (VERDICT r1 item 1): the
         # same sharded QVZ2 encode with the batched quantize scan forced
@@ -271,14 +350,17 @@ def main() -> None:
             "from qvz_tpu.spec.pipeline import load_quality_file\n"
             f"data=load_quality_file({str(str(inp))!r})\n"
             "dist=make_matrix(DISTORTION_MSE)\n"
-            "t0=time.perf_counter()\n"
-            "out=enc_mod.encode(data,dist,n_clusters=1,ratio=0.5,"
+            "res=[]\n"
+            "for i in range(2):\n"
+            "    t0=time.perf_counter()\n"
+            "    out=enc_mod.encode(data,dist,n_clusters=1,ratio=0.5,"
             "well_state=WellState.debug(),shards=0,use_jax=True,"
             "want_recon=False)\n"
-            "te=time.perf_counter()-t0\n"
-            "print(json.dumps({'te':te,'rate':out.stats.rate,"
-            "'phases':out.stats.phase_seconds,"
-            "'device':out.stats.device_seconds}))\n")
+            "    res.append({'te':time.perf_counter()-t0,"
+            "'rate':out.stats.rate,'phases':out.stats.phase_seconds,"
+            "'device':out.stats.device_seconds,"
+            "'fallback':out.stats.coder_fallback_lanes})\n"
+            "print(json.dumps(min(res,key=lambda r:r['te'])))\n")
         try:
             t0 = time.perf_counter()
             r = subprocess.run([sys.executable, "-c", dev_leg], env=env,
@@ -287,14 +369,22 @@ def main() -> None:
                 d = json.loads(r.stdout.strip().splitlines()[-1])
                 ph = {k: round(v, 2) for k, v in d["phases"].items()}
                 dv = {k: round(v, 2) for k, v in d["device"].items()}
-                log(f"ours/device-production: encode {d['te']:.2f}s "
-                    f"rate {d['rate']:.4f} phases {ph} on-device {dv} "
+                telemetry["device_production_s"] = round(d["te"], 2)
+                telemetry["device_phases"] = ph
+                if "device_code" in ph and ph["device_code"] > 0:
+                    msym = (N_LINES * COLS / d["phases"]["device_code"]
+                            / 1e6)
+                    telemetry["device_coder_Msym_s"] = round(msym, 1)
+                log(f"ours/device-production (device coder): encode "
+                    f"{d['te']:.2f}s rate {d['rate']:.4f} phases {ph} "
+                    f"on-device {dv} fallback_lanes {d['fallback']} "
                     f"(vs host sharded {t_enc:.2f}s: "
                     f"{'WIN' if d['te'] < t_enc else 'LOSS — tunnel-bound'})")
             else:
                 log(f"ours/device-production: FAILED rc={r.returncode} "
                     f"{r.stderr[-200:]}")
         except subprocess.TimeoutExpired:
+            telemetry["device_production_s"] = "stall>900"
             log("ours/device-production: TIMEOUT >900s (tunnel stall) — "
                 "honest negative result; host path remains production "
                 "default on tunnel-attached chips")
@@ -389,6 +479,7 @@ def main() -> None:
             "value": round(value, 3),
             "unit": "MB/s",
             "vs_baseline": round(value / base, 3),
+            "telemetry": telemetry,
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -172,5 +172,17 @@ def load() -> ctypes.CDLL:
         u32p, c.c_uint32, c.c_uint32, u8p, c.c_uint64, u32p]
     lib.qvz_replay_model.restype = None
 
+    lib.qvz_bank_from_stream.argtypes = [
+        c.c_void_p, u32p, u8p, u8p, c.c_uint64, u32p]
+    lib.qvz_bank_from_stream.restype = None
+
+    lib.qvz_record_triples_linemajor.argtypes = [
+        c.c_void_p, u32p, u8p, u8p, c.c_uint64, u32p]
+    lib.qvz_record_triples_linemajor.restype = None
+
+    lib.qvz_interval_floor_v1.argtypes = [
+        u8p, c.c_uint64, u32p, c.c_uint64, u32p]
+    lib.qvz_interval_floor_v1.restype = c.c_double
+
     _lib = lib
     return lib

@@ -1899,6 +1899,34 @@ int64_t qvz_encode_precomputed_colmajor(void* tables,
   return n;
 }
 
+// Model-bank state after a precomputed (model, symbol) stream, WITHOUT
+// coding it: bank.update is independent of the arithmetic interval, so
+// the primed-bank snapshot the device lanes need is derivable from the
+// warmup shard's quantize outputs alone. This breaks the serial
+// dependency "code warmup -> bank -> code lanes": the warmup's actual
+// coding (the payload bytes) can then run in a host thread CONCURRENTLY
+// with the device lanes. Order matches qvz_encode_precomputed_colmajor
+// exactly (cluster segment first, then columns).
+void qvz_bank_from_stream(void* tables, const uint32_t* model_t,
+                          const uint8_t* qs_t, const uint8_t* cluster_ids,
+                          uint64_t n_lines, uint32_t* out_bank) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    bank.update(0, cluster_ids ? cluster_ids[i] : 0);
+  }
+  for (uint32_t col = 0; col < columns; ++col) {
+    const uint32_t* mcol = model_t + static_cast<size_t>(col) * n_lines;
+    const uint8_t* xcol = qs_t + static_cast<size_t>(col) * n_lines;
+    for (uint64_t i = 0; i < n_lines; ++i) {
+      bank.update(mcol[i], xcol[i]);
+    }
+  }
+  bank.dump(out_bank);
+}
+
 // Exact single-model replay (see qvz_rt.h): the device coder's pass-1
 // triple computation assumes no mid-shard rescale (exactly checked,
 // rare for column models at device shard sizes) — but the cluster-id
@@ -1930,6 +1958,94 @@ void qvz_replay_model(const uint32_t* init_counts, uint32_t card,
     }
     total = nn;
   }
+}
+
+// ---- v1-decode serial-floor experiment (ROADMAP item 1 closure) ----
+// The v1 stream is ONE interleaved adaptive stream; its decode loop is
+// a serial chain: tag -> symbol scan -> interval update -> renorm ->
+// new tag bits -> next step. These two functions measure the floor of
+// that chain with the model machinery (scan + count lookup + adaptive
+// update) made FREE: first record every step's coder inputs (cum_lo,
+// cum_hi, total, magic) by replaying the encoder's decisions, then
+// time a pure interval+renorm+tag replay against the real payload
+// bits. If even that replay cannot reach the speed target, no amount
+// of model-side optimization can.
+
+void qvz_record_triples_linemajor(void* tables, const uint32_t* model_t,
+                                  const uint8_t* qs_t,
+                                  const uint8_t* cluster_ids,
+                                  uint64_t n_lines, uint32_t* out5) {
+  Tables* tb = static_cast<Tables*>(tables);
+  uint32_t columns = tb->columns;
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  uint64_t w = 0;
+  auto rec = [&](uint32_t m, uint32_t x) {
+    const ModelBank::MInfo& mi = bank.info[m];
+    const uint32_t* c = bank.counts.data() + mi.off;
+    uint32_t cum = 0;
+    for (uint32_t k = 0; k < x; ++k) cum += c[k];
+    out5[w * 5] = cum;
+    out5[w * 5 + 1] = cum + c[x];
+    out5[w * 5 + 2] = mi.total;
+    out5[w * 5 + 3] = static_cast<uint32_t>(mi.magic);
+    out5[w * 5 + 4] = static_cast<uint32_t>(mi.magic >> 32);
+    ++w;
+    bank.update(m, x);
+  };
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    rec(0, cluster_ids ? cluster_ids[i] : 0);
+    for (uint32_t col = 0; col < columns; ++col) {
+      rec(model_t[static_cast<size_t>(col) * n_lines + i],
+          qs_t[static_cast<size_t>(col) * n_lines + i]);
+    }
+  }
+}
+
+double qvz_interval_floor_v1(const uint8_t* payload, uint64_t payload_len,
+                             const uint32_t* rec5, uint64_t n_steps,
+                             uint32_t* out_check) {
+  BitReader br(payload, payload_len);
+  uint32_t l = 0, u = kFull, t = br.get_bits(kArithM);
+  uint32_t check = 0;
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  // all but the final symbol take the full renormalizing step; the
+  // final one is the reference's drain (no renorm, arith.c:190-205)
+  for (uint64_t i = 0; i + 1 < n_steps; ++i) {
+    uint32_t cum_lo = rec5[i * 5];
+    uint32_t cum_hi = rec5[i * 5 + 1];
+    uint32_t n = rec5[i * 5 + 2];
+    uint64_t M = rec5[i * 5 + 3] |
+                 (static_cast<uint64_t>(rec5[i * 5 + 4]) << 32);
+    uint64_t range = static_cast<uint64_t>(u) - l + 1;
+    uint32_t hi_b = (cum_hi == n ? static_cast<uint32_t>(range)
+                                 : mulh_div(range * cum_hi, M));
+    uint32_t lo_b = (cum_lo == 0 ? 0u : mulh_div(range * cum_lo, M));
+    u = l + hi_b - 1;
+    l = l + lo_b;
+    uint32_t diff = l ^ u;
+    int k1 = (diff >> kMsbShift) == 0
+                 ? __builtin_clz(diff << (32 - kArithM)) : 0;
+    l = (l << k1) & kFull;
+    u = ((u << k1) | ((1u << k1) - 1u)) & kFull;
+    t = ((t << k1) | br.getk(k1)) & kFull;
+    bool e3 = (l >> kSmsbShift) == 0x01 && (u >> kSmsbShift) == 0x02;
+    uint32_t lx = l << (32 - kSmsbShift);
+    uint32_t ux = u << (32 - kSmsbShift);
+    int lrun = __builtin_clz(~lx | 1u);
+    int zrun = ux ? __builtin_clz(ux) : 32;
+    int k3 = e3 ? 1 + (lrun < zrun ? lrun : zrun) : 0;
+    uint32_t flip = e3 ? kMsbBit : 0u;
+    uint32_t lmask = e3 ? kMsbClear : kFull;
+    l = (l << k3) & lmask;
+    u = (((u << k3) & lmask) | (e3 ? kMsbBit : 0u)) | ((1u << k3) - 1u);
+    t = (((t << k3) | br.getk(k3)) & kFull) ^ flip;
+    check ^= t;
+  }
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  *out_check = check ^ l ^ u;
+  return (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
 }
 
 // Column-major decode matching qvz_encode_fused_colmajor. Writes

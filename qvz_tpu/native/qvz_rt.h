@@ -103,6 +103,13 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint8_t* cluster_out,
                             const uint8_t* draws_t_in);
 
+// Model-bank snapshot after replaying a precomputed (model, symbol)
+// stream without coding it (bank updates are interval-independent).
+// Lets the warmup shard's payload coding overlap the device lanes.
+void qvz_bank_from_stream(void* tables, const uint32_t* model_t,
+                          const uint8_t* qs_t, const uint8_t* cluster_ids,
+                          uint64_t n_lines, uint32_t* out_bank);
+
 // Exact adaptive-model replay for ONE model: per-occurrence
 // (cum_lo, cum_hi, total) triples with the full update semantics
 // (counts += 8, halve+1 rescale past r — qv_stream.c:9-25). Host-side

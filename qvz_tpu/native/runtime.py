@@ -425,6 +425,27 @@ def encode_precomputed_colmajor(tables: Tables, model_t: np.ndarray,
         cap = -r + 4096
 
 
+def bank_from_stream(tables: Tables, model_t: np.ndarray,
+                     qs_t: np.ndarray, cluster_ids,
+                     n_lines: int) -> np.ndarray:
+    """Model-bank snapshot after replaying a precomputed (model, symbol)
+    stream WITHOUT coding it — bank updates are independent of the
+    arithmetic interval, so the primed bank the device lanes need is
+    available before (and concurrently with) the warmup shard's actual
+    payload coding."""
+    lib = native.load()
+    model_t = np.ascontiguousarray(model_t, dtype=np.uint32)
+    qs_t = np.ascontiguousarray(qs_t, dtype=np.uint8)
+    cl = (np.ascontiguousarray(cluster_ids, dtype=np.uint8)
+          if cluster_ids is not None else None)
+    ob = np.empty(tables.bank_words, dtype=np.uint32)
+    lib.qvz_bank_from_stream(
+        tables._h, _ptr(model_t, _u32p), _ptr(qs_t, _u8p),
+        _ptr(cl, _u8p) if cl is not None else None,
+        n_lines, _ptr(ob, _u32p))
+    return ob
+
+
 def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
                     well_state_words, out: np.ndarray | None = None,
                     init_bank: np.ndarray | None = None,

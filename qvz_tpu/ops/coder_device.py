@@ -9,35 +9,39 @@ device->host traffic is then the COMPRESSED payload (~rate/8 bytes per
 symbol) instead of the 6 B/symbol quantized intermediates that made the
 round-2 device path lose against the host on tunnel-attached chips.
 
-Two passes, both pure XLA (u32/f32 — no 64-bit integer math anywhere,
-so no jax_enable_x64 dependency and no emulated-u64 ops on TPU):
+Design: ONE fused lax.scan over coding steps, pure XLA (u32/f32 — no
+64-bit integer math anywhere, so no jax_enable_x64 dependency and no
+emulated-u64 ops on TPU). Per step and lane the scan
 
-PASS 1 — model replay as vectorized prefix sums. The adaptive model
-state (counts[x] += 8 per occurrence) is independent of the arithmetic
-interval, and column-major coding order means each (column, context,
-choice) model is touched only inside its own column segment. Absent a
-rescale, the counts at occurrence t are a LINEAR function of the
-per-(model, symbol) occurrence-prefix counts:
+(a) replays the adaptive model: counts[x] += 8 per occurrence is
+    independent of the arithmetic interval, and column-major coding
+    order means each (column, context, choice) model is touched only
+    inside its own column segment. Absent a rescale the coder inputs at
+    occurrence t are a LINEAR function of occurrence-prefix counts:
 
-    cum_lo(t)  = cuminit(m, <x) + 8 * |{t' < t: model m, symbol < x}|
-    count(t)   = init(m, x)     + 8 * |{t' < t: model m, symbol = x}|
-    total(t)   = ninit(m)       + 8 * |{t' < t: model m}|
+        cum_lo(t)  = cuminit(m, <x) + 8 * |{t'<t: model m, sym < x}|
+        count(t)   = init(m, x)     + 8 * |{t'<t: model m, sym = x}|
+        total(t)   = ninit(m)       + 8 * |{t'<t: model m}|
 
-so the per-symbol (cum_lo, cum_hi, total) coder inputs for a whole
-column are two cumulative sums over a per-column one-hot tensor — fully
-parallel over lanes, lines, and columns. Rescale (halve+1 past
-r = 2^19, qv_stream.c:15-24) is EXACTLY detected per (lane, model)
-(total would exceed r); a flagged lane falls back to the host coder,
-preserving bit-exactness unconditionally. At device-path shard sizes
-(<= ~32k lines/shard) column models never rescale; the cluster-id
-model, which sees one update per line and can rescale, is replayed
-host-side at memory speed (rt.replay_model) and shipped as triples.
+    The scan carry holds the per-lane occurrence-count table
+    counts (W, S) over the column's dense model-slot axis; the three
+    prefix quantities are masked range-sums over S — elementwise VPU
+    ops + minor-axis reductions. (A materialized formulation — one-hot
+    (W, L, S) + cumsum over lines + S-axis gathers — measured 6-14
+    Msym/s on v5e; this fused carry form avoids gathers and any
+    (W, L, S) tensor entirely.) Rescale (halve+1 past r = 2^19,
+    qv_stream.c:15-24) is EXACTLY detected per lane (a model's total
+    would exceed r); a flagged lane falls back to the host coder,
+    preserving bit-exactness unconditionally. The cluster-id model,
+    which sees one update per line and can legitimately rescale, is
+    replayed host-side at memory speed (rt.replay_model) and shipped
+    as explicit per-step triples (slot = -1 steps).
 
-PASS 2 — the interval recurrence as a W-lane scan. Per step and lane:
-exact floor-division interval update, the host coder's batched E1*/E3*
-closed-form renormalization (qvz_rt.cpp:393-424), and on-device bit
-packing into 32-bit words via a carry (buf, cnt). The only sequential
-axis is symbols-within-shard; all lanes advance in lockstep vector ops.
+(b) advances the interval: exact floor-division update, the host
+    coder's batched E1*/E3* closed-form renormalization
+    (qvz_rt.cpp:393-424), and on-device bit packing into 32-bit words
+    via a carry (buf, cnt). The only sequential axis is
+    symbols-within-shard; all lanes advance in lockstep vector ops.
 
 Exact division without 64-bit math: the coder needs
 q = floor(range*cum / n) with range < 2^22 and cum <= n < 2^20, so
@@ -59,6 +63,7 @@ lane's fallback flag rather than being silently mis-packed.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 
 import jax
@@ -307,68 +312,81 @@ def _pass2(trip_lo, trip_hi, trip_n, unroll=1):
 
 
 # --------------------------------------------------------------------------
-# Pass 1: triples from prefix sums, one column at a time.
+# Fused single-scan coder: model replay AND interval recurrence in ONE
+# lax.scan. The (W, L, S) one-hot/cumsum/gather formulation of pass 1
+# measured 6-14 Msym/s on v5e (cumsum over lines + the S-axis gathers
+# are pathological on TPU); instead the scan carry holds the per-lane
+# occurrence-count table counts (W, S) and each step derives its triple
+# with three masked range-sums over S — pure VPU elementwise + minor-axis
+# reductions, no gathers, nothing (W, L, S)-shaped ever materialized.
 
 
 @partial(jax.jit, static_argnames=("S",))
-def _pass1(mid, qs, valid, init_counts_cols, slot_base_g, card_g,
-           ninit_g, S):
-    """mid/qs: (cols, W, L) i32 model ids / symbol indices; valid:
-    (W, L) bool; init_counts_cols: (cols, S) u32; the _g arrays are
-    (n_models,). Returns triples (cols, W, L) x3 u32 and the per-lane
-    rescale flag."""
+def _precompute(mid, qs, valid, icc, slot_base_g, card_g, ninit_g, S):
+    """Per-symbol scan inputs from the quantize outputs (1-D table
+    gathers, all fast on TPU). mid/qs: (cols, W, L) i32; valid: (W, L).
+    Returns (cols, W, L) streams: slot (or -1 for no-op steps), sb, sbc,
+    base_lo (init-count prefix inside the model), init_at, ninit."""
+    cols, W, L = mid.shape
+    sb = slot_base_g[mid]
+    card = card_g[mid]
+    ninit = ninit_g[mid].astype(_I32)
+    slot = jnp.clip(sb + qs, 0, S - 1)
+    sbc = sb + card
 
-    validi = valid.astype(_I32)
+    icc_i = icc.astype(_I32)                      # (cols, S)
+    ci = jnp.concatenate(
+        [jnp.zeros((cols, 1), _I32), jnp.cumsum(icc_i, axis=1)], axis=1)
+    ci_flat = ci.reshape(-1)                      # (cols*(S+1),)
+    colix = jnp.arange(cols, dtype=_I32)[:, None, None]
+    cbase = colix * (S + 1)
+    base_lo = ci_flat[cbase + slot] - ci_flat[cbase + sb]
+    init_at = icc_i.reshape(-1)[colix * S + slot]
 
-    def col_step(flag, xs):
-        mid_c, qs_c, init_c = xs
-        sb = slot_base_g[mid_c]
-        card = card_g[mid_c]
-        ninit = ninit_g[mid_c]
-        slot = jnp.clip(sb + qs_c, 0, S - 1)
+    noop = (card == 1) | ~valid[None, :, :]
+    slot = jnp.where(noop, -1, slot)
+    return slot, sb, sbc, base_lo, init_at, ninit
 
-        oh = (slot[..., None] ==
-              jnp.arange(S, dtype=_I32)).astype(_I32) * validi[..., None]
-        csum = jnp.cumsum(oh, axis=1)
-        E = csum - oh                       # exclusive over lines
-        PC = jnp.cumsum(E, axis=2)          # inclusive over slots
 
-        def pfx(idx):                        # sum_{s < idx} E[..., s]
-            g = jnp.take_along_axis(
-                PC, jnp.maximum(idx - 1, 0)[..., None], axis=2)[..., 0]
-            return jnp.where(idx > 0, g, 0)
+def _fused_step(carry, xs):
+    """One coder step across all lanes, deriving the (cum_lo, cum_hi,
+    total) triple from the carried occurrence counts. Steps with
+    slot < 0 use the explicit triple (etl, eth, etn) and leave counts
+    untouched (cluster-id segment, no-op models, lane padding)."""
+    l, u, s3, buf, cnt, of, counts = carry
+    slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn, reset = xs
+    S = counts.shape[1]
 
-        CI = jnp.cumsum(init_c.astype(_I32))
+    counts = counts * jnp.logical_not(reset).astype(_I32)
+    iota = jnp.arange(S, dtype=_I32)[None, :]
+    live = slot >= 0
+    m_sb = iota < sb[:, None]
+    s_lo = jnp.sum(counts * ((iota < slot[:, None]) & ~m_sb), axis=1)
+    s_tot = jnp.sum(counts * ((iota < sbc[:, None]) & ~m_sb), axis=1)
+    eq = (iota == slot[:, None]).astype(_I32)
+    prior = jnp.sum(counts * eq, axis=1)
 
-        def ci(idx):
-            return jnp.where(idx > 0, CI[jnp.maximum(idx - 1, 0)], 0)
+    cum_lo = base_lo + STEP * s_lo
+    cum_hi = cum_lo + init_at + STEP * prior
+    total = ninit + STEP * s_tot
+    of = of | (live & (total + STEP > ARITH_R.astype(_I32)))
+    clo = jnp.where(live, cum_lo.astype(_U32), etl)
+    chi = jnp.where(live, cum_hi.astype(_U32), eth)
+    n = jnp.where(live, total.astype(_U32), etn)
+    counts = counts + jnp.where(live[:, None], eq, 0)
 
-        prior_at = jnp.take_along_axis(E, slot[..., None],
-                                       axis=2)[..., 0]
-        cum_lo = (ci(slot) - ci(sb)) + STEP * (pfx(slot) - pfx(sb))
-        count_at = init_c[slot].astype(_I32) + STEP * prior_at
-        cum_hi = cum_lo + count_at
-        total = ninit.astype(_I32) + STEP * (
-            pfx(jnp.minimum(sb + card, S)) - pfx(sb))
+    (l, u, s3, buf, cnt, of2), ys = _coder_step(
+        (l, u, s3, buf, cnt, jnp.zeros_like(of)), (clo, chi, n))
+    return (l, u, s3, buf, cnt, of | of2, counts), ys
 
-        # card-1 models never move the interval nor emit bits whatever
-        # their total (cum_lo == 0, cum_hi == total are the exact edge
-        # paths) — normalize to the canonical no-op triple so their
-        # rescales (which they do undergo) cannot flag the lane.
-        noop = (card == 1) | ~valid
-        cum_lo = jnp.where(noop, 0, cum_lo)
-        cum_hi = jnp.where(noop, 1, cum_hi)
-        total = jnp.where(noop, 1, total)
-        flag = flag | jnp.any(
-            (total + STEP > ARITH_R.astype(_I32)) & ~noop, axis=1)
-        return flag, (cum_lo.astype(_U32), cum_hi.astype(_U32),
-                      total.astype(_U32))
 
-    W = valid.shape[0]
-    flag0 = jnp.zeros(W, bool)
-    flag, trips = jax.lax.scan(col_step, flag0,
-                               (mid, qs, init_counts_cols))
-    return flag, trips
+@partial(jax.jit, static_argnames=("W", "S", "unroll"))
+def _fused_scan(xs, W, S, unroll=1):
+    init = (jnp.zeros(W, _U32), jnp.full(W, FULL, _U32),
+            jnp.zeros(W, _I32), jnp.zeros(W, _U32), jnp.zeros(W, _I32),
+            jnp.zeros(W, bool), jnp.zeros((W, S), _I32))
+    carry, ys = jax.lax.scan(_fused_step, init, xs, unroll=unroll)
+    return carry, ys
 
 
 # --------------------------------------------------------------------------
@@ -434,7 +452,8 @@ def _bucket(n: int) -> int:
 
 
 def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
-                 cluster_triples: np.ndarray | None):
+                 cluster_triples: np.ndarray | None,
+                 timings: dict | None = None):
     """Code W equal-length lanes.
 
     mid_lanes/qs_lanes: (cols, W, L) int32 (device or host arrays);
@@ -442,9 +461,14 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
     the cluster-id segment (None when n_clusters == 1 — those steps are
     exact no-ops and are skipped entirely).
 
+    timings: optional dict filled with wall-clock stage splits
+    (precompute / scan / compact_fetch / assemble) — the fences force
+    materialization, so only pass it for diagnostics.
+
     Returns (payloads, flags): payloads is a list of W byte strings
     (entries for flagged lanes are None — the caller must host-code
     those shards), flags the per-lane fallback mask."""
+    t_seg = time.perf_counter()
     cols, W, L = mid_lanes.shape
     Lb = _bucket(L)
     Wb = -(-W // 8) * 8
@@ -463,30 +487,58 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
             cluster_triples = ct
     W_real = W
     W, L = Wb, Lb
+    S = plan.S
 
-    flag, trips = _pass1(
+    slot, sb, sbc, base_lo, init_at, ninit = _precompute(
         jnp.asarray(mid_lanes, _I32), jnp.asarray(qs_lanes, _I32),
         jnp.asarray(valid), jnp.asarray(plan.init_counts_cols, _U32),
         jnp.asarray(plan.slot_base, _I32), jnp.asarray(plan.cards, _I32),
-        jnp.asarray(plan.totals, _U32), plan.S)
+        jnp.asarray(plan.totals, _U32), S)
 
     def seg(t):  # (cols, W, L) -> (cols*L, W)
         return jnp.swapaxes(t, 1, 2).reshape(cols * L, W)
 
-    tl, th, tn = (seg(t) for t in trips)
+    slot, sb, sbc, base_lo, init_at, ninit = (
+        seg(t) for t in (slot, sb, sbc, base_lo, init_at, ninit))
+    csteps = cols * L
+    # explicit triples: only consulted where slot < 0 (no-op steps use
+    # the canonical (0, 1, 1), which provably neither moves the interval
+    # nor emits bits)
+    etl = jnp.zeros((csteps, W), _U32)
+    eth = jnp.ones((csteps, W), _U32)
+    etn = jnp.ones((csteps, W), _U32)
+    reset = (jnp.arange(csteps, dtype=_I32) % L) == 0
+
     if cluster_triples is not None:
         ct = jnp.asarray(cluster_triples, _U32)       # (W, L, 3)
-        ctl = jnp.swapaxes(ct[..., 0], 0, 1)
-        cth = jnp.swapaxes(ct[..., 1], 0, 1)
-        ctn = jnp.swapaxes(ct[..., 2], 0, 1)
-        tl = jnp.concatenate([ctl, tl])
-        th = jnp.concatenate([cth, th])
-        tn = jnp.concatenate([ctn, tn])
+        zi = jnp.zeros((L, W), _I32)
+        slot = jnp.concatenate([zi - 1, slot])
+        sb = jnp.concatenate([zi, sb])
+        sbc = jnp.concatenate([zi, sbc])
+        base_lo = jnp.concatenate([zi, base_lo])
+        init_at = jnp.concatenate([zi, init_at])
+        ninit = jnp.concatenate([zi, ninit])
+        etl = jnp.concatenate([jnp.swapaxes(ct[..., 0], 0, 1), etl])
+        eth = jnp.concatenate([jnp.swapaxes(ct[..., 1], 0, 1), eth])
+        etn = jnp.concatenate([jnp.swapaxes(ct[..., 2], 0, 1), etn])
+        reset = jnp.concatenate(
+            [jnp.zeros(L, bool), reset])
 
-    unroll = int(os.environ.get("QVZ_TPU_CODER_UNROLL", "1"))
-    carry, (w0, w1, f0, f1) = _pass2(tl, th, tn, unroll=unroll)
-    l, u, s3, buf, cnt, of = carry
-    flags = np.asarray(flag | of)
+    unroll = int(os.environ.get("QVZ_TPU_CODER_UNROLL", "0")) or \
+        (1 if jax.default_backend() == "cpu" else 8)
+    if timings is not None:
+        np.asarray(slot[0])  # readback fence (block_until_ready is
+        # unreliable on remote-attached backends)
+        timings["precompute"] = time.perf_counter() - t_seg
+        t_seg = time.perf_counter()
+    carry, (w0, w1, f0, f1) = _fused_scan(
+        (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn, reset),
+        W, S, unroll=unroll)
+    l, u, s3, buf, cnt, of = carry[:6]
+    flags = np.asarray(of)
+    if timings is not None:
+        timings["scan"] = time.perf_counter() - t_seg
+        t_seg = time.perf_counter()
 
     counts = np.asarray(_word_counts(f0, f1))
     max_words = int(counts.max()) if counts.size else 0
@@ -497,6 +549,9 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
     counts_h = np.asarray(counts2)
     l_h, s3_h = np.asarray(l), np.asarray(s3)
     buf_h, cnt_h = np.asarray(buf), np.asarray(cnt)
+    if timings is not None:
+        timings["compact_fetch"] = time.perf_counter() - t_seg
+        t_seg = time.perf_counter()
 
     payloads = []
     for w in range(W_real):
@@ -506,4 +561,6 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
         payloads.append(finish_payload(
             words_h[: counts_h[w], w], int(l_h[w]), int(s3_h[w]),
             int(buf_h[w]), int(cnt_h[w])))
+    if timings is not None:
+        timings["assemble"] = time.perf_counter() - t_seg
     return payloads, flags[:W_real]

@@ -27,10 +27,15 @@ from qvz_tpu.constants import ALPHABET_SIZE
 @partial(jax.jit, static_argnames=("columns",))
 def _quantize_device(data_t, draws_t, cluster_base, columns,
                      ctxmap_flat, pair_base, qratio, qv_flat, qs_flat):
-    """data_t/draws_t: (cols, N) int32; cluster_base: (N,) int32 =
-    cluster*cols. Tables flat int32. Returns (model_ids, qs, qv) each
-    (cols, N) int32."""
+    """data_t/draws_t: (cols, N) int32 or uint8 (uint8 inputs are cast
+    on DEVICE — callers upload the 1 B/symbol arrays, not 4x-inflated
+    host-side int32 conversions; at tunnel/PCIe bandwidths the transfer
+    is the cost that matters); cluster_base: (N,) int32 = cluster*cols.
+    Tables flat int32. Returns (model_ids, qs, qv) each (cols, N)
+    int32."""
     A = ALPHABET_SIZE
+    data_t = data_t.astype(jnp.int32)
+    draws_t = draws_t.astype(jnp.int32)
 
     def step(prev, xs):
         col, data_col, draw_col = xs
@@ -79,6 +84,8 @@ def _quantize_device_mxu(data_t, draws_t, cluster, columns, n_clusters,
     C72 = n_clusters * 72
     C144 = n_clusters * 144
     bf = jnp.bfloat16
+    data_t = data_t.astype(jnp.int32)
+    draws_t = draws_t.astype(jnp.int32)
 
     def step(prev, xs):
         data_col, draw_col, ctx_c, qr_c, qv_c, qs_c, const_c = xs
@@ -170,8 +177,14 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
     one-hot rewrite at 1M x 100 on a v5e) and the one-hot-matmul MXU
     variant (QVZ_TPU_QUANTIZE_MXU=1 fallback)."""
     n, cols = data.shape
-    data_t = jnp.asarray(np.ascontiguousarray(data.T), dtype=jnp.int32)
-    draws_t = jnp.asarray(np.ascontiguousarray(draws.T), dtype=jnp.int32)
+    # upload 1 B/symbol u8 and cast on device (see _quantize_device);
+    # a jax-array input is already device-resident (one shared upload
+    # for the stats + quantize phases) — transpose on device instead.
+    if isinstance(data, np.ndarray):
+        data_t = jnp.asarray(np.ascontiguousarray(data.T))
+    else:
+        data_t = data.T
+    draws_t = jnp.asarray(np.ascontiguousarray(draws.T))
 
     if _use_mxu_variant():
         n_clusters = tables.n_clusters
@@ -215,8 +228,9 @@ def quantize_t(tables, data: np.ndarray, cluster_ids, draws):
 
 @jax.jit
 def _distortion_cols(data_t, qv_t, dist_f32):
+    di = data_t.astype(jnp.int32)
     return jnp.take(dist_f32.reshape(-1),
-                    data_t * dist_f32.shape[1] + qv_t).sum(axis=1)
+                    di * dist_f32.shape[1] + qv_t).sum(axis=1)
 
 
 def distortion_device(data_t, qv_t, dist_matrix) -> float:

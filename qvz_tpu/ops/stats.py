@@ -84,9 +84,14 @@ def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
     use_pallas_hist = bool(os.environ.get("QVZ_TPU_PALLAS_HIST"))
     counts0 = np.zeros((n_clusters, A), dtype=np.int64)
     cond = np.zeros((n_clusters, cols - 1, A, A), dtype=np.int64)
+    is_dev = not isinstance(data, np.ndarray)
     for s in range(0, n, _CHUNK):
         e = min(n, s + _CHUNK)
-        dt = jnp.asarray(np.ascontiguousarray(data[s:e]), dtype=jnp.uint8)
+        if is_dev:
+            dt = data[s:e].astype(jnp.uint8)  # already on device
+        else:
+            dt = jnp.asarray(np.ascontiguousarray(data[s:e]),
+                             dtype=jnp.uint8)
         cl = jnp.asarray(clusters[s:e], dtype=jnp.uint8)
         if use_pallas_hist:
             import jax

@@ -59,6 +59,12 @@ class EncodeOutput:
     stats: EncodeStats
 
 
+def _device_coder_enabled() -> bool:
+    """The device entropy coder is the default device path; 0 falls
+    back to device-quantize + host coding (diagnostics)."""
+    return os.environ.get("QVZ_TPU_DEVICE_CODER", "1") != "0"
+
+
 def _device_worthwhile(n_bytes: int) -> bool:
     """Auto-dispatch policy: run the batched passes on the accelerator
     only when the input is large enough to amortize host<->device
@@ -139,14 +145,32 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     the per-shard adaptation-restart rate overhead at zero container
     cost (both sides derive the prior by processing shard 0)."""
     n, columns = data.shape
-    if shards == 0:
-        shards = os.cpu_count() or 1
-    shards = max(1, min(shards, n))
     if use_jax == "auto":
         use_jax = mesh is not None or _device_worthwhile(data.nbytes)
+    if shards == 0:
+        # shards=0 = "pick for the execution engine": host coding wants
+        # one stream per core; the device coder wants enough lanes to
+        # fill the VPU's 128-wide vector registers and shrink the
+        # sequential scan (measured on v5e: 32 lanes 53 Msym/s, 1024
+        # lanes 280 Msym/s pass-2). Priming keeps the per-shard rate
+        # cost ~zero, so lanes are nearly free; floor of 256 lines per
+        # lane bounds padding + per-lane flush overhead.
+        if use_jax and mesh is None and _device_coder_enabled():
+            shards = int(os.environ.get("QVZ_TPU_DEVICE_LANES", "0")) or \
+                max(16, min(1024, n // 256))
+        else:
+            shards = os.cpu_count() or 1
+    shards = max(1, min(shards, n))
     if well_state is None:
         well_state = WellState.debug()
     stats = EncodeStats(lines=n, columns=columns)
+    data_dev = None
+    if use_jax and mesh is None:
+        # ONE h2d upload of the quality matrix, shared by the stats and
+        # quantize phases (transposes happen on device) — transfers are
+        # the device path's binding cost on narrow links.
+        import jax
+        data_dev = jax.device_put(data)
     t0 = time.perf_counter()
 
     # --- clustering -------------------------------------------------------
@@ -183,7 +207,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
                               blocks, tables, n, columns, n_clusters,
                               shards, well_state, want_recon, stats, t3,
                               use_jax=use_jax, mesh=mesh, prime=prime,
-                              verbose=verbose)
+                              verbose=verbose, data_dev=data_dev)
 
     # --- statistics ---------------------------------------------------------
     if mesh is not None:
@@ -193,7 +217,8 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     elif use_jax:
         from qvz_tpu.ops import stats as jx_stats
         counts0, cond_counts = jx_stats.conditional_counts(
-            data, cluster_arr, n_clusters)
+            data_dev if data_dev is not None else data, cluster_arr,
+            n_clusters)
     else:
         counts0, cond_counts = rt.stats_host(data, cluster_arr, n_clusters)
     t2 = time.perf_counter()
@@ -213,7 +238,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
                           tables, n, columns, n_clusters, shards,
                           well_state, want_recon, stats, t3,
                           use_jax=use_jax, mesh=mesh, prime=prime,
-                          verbose=verbose)
+                          verbose=verbose, data_dev=data_dev)
 
 
 def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
@@ -239,7 +264,8 @@ def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
 
 def _device_coder_encode(tables, data, clusters, cluster_arr, states,
                          counts, offs, columns, n_clusters, dist_matrix,
-                         prime_on, want_recon, stats, draws):
+                         prime_on, want_recon, stats, draws,
+                         data_dev=None):
     """Quantize + entropy-code the QVZ2 shards on the accelerator.
 
     The warmup shard (priming source) is coded on host — it is the one
@@ -255,8 +281,8 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
 
     t0 = time.perf_counter()
     md, qd, qvd, data_t_dev = jx_quant.quantize_t_device(
-        tables, data, cluster_arr if clusters is not None else None,
-        draws)
+        tables, data_dev if data_dev is not None else data,
+        cluster_arr if clusters is not None else None, draws)
     md.block_until_ready()
     t1 = time.perf_counter()
     stats.phase_seconds["quantize"] = t1 - t0
@@ -265,11 +291,28 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
     first = 1 if prime_on else 0
     bank = None
     pay0 = None
+    warmup_thread = None
+    warmup_out: list = [None]
     if prime_on:
-        pay0, _, _, bank = rt.encode_fused_colmajor(
-            tables, np.ascontiguousarray(data[:counts[0]].T),
-            clusters[:counts[0]] if clusters is not None else None,
-            states[0], dist=None, want_recon=False, want_bank=True)
+        # The primed bank is derivable from the warmup shard's quantize
+        # DECISIONS alone (bank updates are interval-independent), so
+        # the warmup's serial payload coding — the one non-parallel
+        # stage — runs in a host thread CONCURRENTLY with the device
+        # lanes instead of gating them.
+        import threading
+
+        w_n = int(counts[0])
+        w_cl = clusters[:w_n] if clusters is not None else None
+        md0, qs0, _, _ = rt.quantize_colmajor(
+            tables, np.ascontiguousarray(data[:w_n].T), w_cl, states[0])
+        bank = rt.bank_from_stream(tables, md0, qs0, w_cl, w_n)
+
+        def _code_warmup():
+            warmup_out[0] = rt.encode_precomputed_colmajor(
+                tables, md0, qs0, w_cl, w_n)
+
+        warmup_thread = threading.Thread(target=_code_warmup)
+        warmup_thread.start()
     plan = coder_device.LanePlan(tables, bank)
 
     lane_counts = counts[first:]
@@ -301,8 +344,15 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
                 plan.cluster_init_counts, plan.cluster_init_total,
                 cluster_arr[lo:hi])
 
+    tim = {} if os.environ.get("QVZ_TPU_CODER_TIMINGS") else None
     lane_pays, flags = coder_device.encode_lanes(
-        plan, lanes_of(md), lanes_of(qd), valid, ctrip)
+        plan, lanes_of(md), lanes_of(qd), valid, ctrip, timings=tim)
+    if tim:
+        for k, v in tim.items():
+            stats.phase_seconds[f"device_code/{k}"] = v
+    if warmup_thread is not None:
+        warmup_thread.join()
+        pay0 = warmup_out[0]
     t2 = time.perf_counter()
     stats.phase_seconds["device_code"] = t2 - t1
     stats.device_seconds["device_code"] = t2 - t1
@@ -322,7 +372,8 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
             hi - lo, init_bank=bank)
 
     if want_recon:
-        recon = np.asarray(qvd, dtype=np.uint8).T.copy()
+        # cast on device: the d2h fetch is 1 B/symbol, not 4
+        recon = np.asarray(qvd.astype(jnp.uint8)).T.copy()
         dist_sum = float(
             dist_matrix[data.reshape(-1), recon.reshape(-1)].sum()
         ) / columns
@@ -338,6 +389,7 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
 def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
                    n, columns, n_clusters, shards, well_state, want_recon,
                    stats, t3, use_jax=False, mesh=None, prime=True,
+                   data_dev=None,
                    verbose=False):
     # --- fused quantize + dither + entropy coding -----------------------------
     well_bytes = well_state.to_bytes()
@@ -378,8 +430,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
         device_coder = (use_jax and mesh is None
-                        and os.environ.get("QVZ_TPU_DEVICE_CODER",
-                                           "1") != "0")
+                        and _device_coder_enabled())
         if device_coder:
             # Device-CODER production path (VERDICT r2 top item): the
             # accelerator quantizes AND entropy-codes every non-warmup
@@ -393,7 +444,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
             payloads, dist_sum, recon = _device_coder_encode(
                 tables, data, clusters, cluster_arr, states, counts,
                 offs, columns, n_clusters, dist_matrix, prime_on,
-                want_recon, stats, draws)
+                want_recon, stats, draws, data_dev=data_dev)
         elif use_jax or mesh is not None:
             # Device-quantization production path: the accelerator runs
             # the batched quantize+dither scan over ALL reads at once

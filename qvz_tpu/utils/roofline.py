@@ -1,0 +1,107 @@
+"""Device-utilization accounting: achieved bytes/s and FLOP/s per
+kernel vs the chip's peaks (VERDICT r2 missing item 3).
+
+The reference publishes no performance model at all (SURVEY §6), so
+this yardstick is the framework's own. The compressor's device kernels
+are gather/integer-ALU passes, not matmuls — the binding resource is
+HBM bandwidth, so the headline figure is pct_hbm_peak on explicit
+input+output traffic. A kernel can exceed 100% only if XLA kept
+intermediates in VMEM/registers (fusion), which is itself useful
+signal; FLOP utilization is reported for the one MXU-shaped kernel
+(k-means distances) for completeness.
+
+Peaks are keyed on jax.devices()[0].device_kind with a conservative
+'unknown' fallback; numbers are the public per-chip specs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ChipPeaks:
+    name: str
+    hbm_gbps: float        # HBM bandwidth, GB/s
+    bf16_tflops: float     # dense bf16 MXU peak, TFLOP/s
+    int8_tops: float       # dense int8 peak, TOP/s
+
+
+_PEAKS = {
+    # public spec-sheet numbers per chip
+    "TPU v5e": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
+    "TPU v5 lite": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
+    "TPU v5p": ChipPeaks("TPU v5p", 2765.0, 459.0, 918.0),
+    "TPU v4": ChipPeaks("TPU v4", 1228.0, 275.0, 275.0),
+    "TPU v6e": ChipPeaks("TPU v6e", 1640.0, 918.0, 1836.0),
+}
+
+
+def peaks_for(device_kind: str) -> ChipPeaks:
+    for key, p in _PEAKS.items():
+        if key.lower() in device_kind.lower():
+            return p
+    # CPU-backend / unknown: report against a nominal 100 GB/s so the
+    # ratio is still meaningful as a relative number, clearly labeled.
+    return ChipPeaks(f"unknown({device_kind})", 100.0, 1.0, 1.0)
+
+
+def utilization(bytes_moved: int, seconds: float, peaks: ChipPeaks,
+                flops: int = 0) -> dict:
+    """Achieved rates + fraction of peak for one timed kernel pass.
+
+    bytes_moved: explicit kernel input + output bytes (HBM-side model;
+    VMEM-resident intermediates excluded by construction)."""
+    gbs = bytes_moved / seconds / 1e9 if seconds > 0 else 0.0
+    out = {
+        "achieved_GB_s": round(gbs, 2),
+        "pct_hbm_peak": round(100.0 * gbs / peaks.hbm_gbps, 2),
+        "chip": peaks.name,
+    }
+    if flops:
+        tf = flops / seconds / 1e12 if seconds > 0 else 0.0
+        out["achieved_TFLOP_s"] = round(tf, 3)
+        out["pct_mxu_peak_bf16"] = round(100.0 * tf / peaks.bf16_tflops,
+                                         3)
+    return out
+
+
+# --- per-kernel explicit-traffic models (bytes per pass) ---------------
+# Shapes follow bench.py's probes: N lines x C columns, K centroids,
+# W lanes x S steps for the coder.
+
+
+def hist_bytes(n: int, cols: int, n_clusters: int) -> int:
+    # read data u8 (n*cols) + cluster ids u8 (n); write histograms
+    # (n_clusters*72 + n_clusters*(cols-1)*72*72) i32.
+    return (n * cols + n
+            + 4 * n_clusters * (72 + (cols - 1) * 72 * 72))
+
+
+def kmeans_bytes(n: int, cols: int, k: int) -> int:
+    # read data i32 (padded rows ~ n*cols), centroids i32; write
+    # assignment i32 (n) + centroid sums/counts i32.
+    return 4 * (n * cols + k * cols + n + k * cols + k)
+
+
+def kmeans_flops(n: int, cols: int, k: int) -> int:
+    # squared-L2 distances: n*k*cols multiply-adds (x2 flops)
+    return 2 * n * k * cols
+
+
+def quantize_bytes(n: int, cols: int) -> int:
+    # read data_t i32 + draws i32; write model_ids/qs/qv i32.
+    return 4 * (2 * n * cols + 3 * n * cols)
+
+
+def coder_pass2_bytes(steps: int, lanes: int) -> int:
+    # read 3 u32 triple streams; write 2 u32 word streams + 2 flags.
+    return 4 * (3 + 2) * steps * lanes + 2 * steps * lanes
+
+
+def coder_pass1_bytes(cols: int, lanes: int, lane_len: int,
+                      slots: int) -> int:
+    # read mid/qs i32; write 3 u32 triples. The (W, L, S) one-hot
+    # cumsum intermediates are the real HBM traffic when XLA
+    # materializes them — reported separately by the caller if needed.
+    return 4 * (2 + 3) * cols * lanes * lane_len
