@@ -647,31 +647,147 @@ static double entropy_of(const double* pmf) {
   return h;
 }
 
-// States sweep bracketing the entropy target (codebook.c:230-269).
-// Returns the lo-selection probability; fills lo/hi.
-static double optimize_for_entropy(const double* pmf, const double* dist,
-                                   const double* dist_t, double target,
-                                   Quant* lo, Quant* hi) {
-  if (target == 0.0) {
-    lloyd_max(pmf, dist, dist_t, 1, lo);
-    lloyd_max(pmf, dist, dist_t, 1, hi);
-    return 1.0;
+// One state-count sweep task: a context pmf + entropy target, producing
+// the reference-identical (lo, hi, ratio) selection.
+struct SweepTask {
+  const double* pmf;
+  double target;
+  Quant* lo;
+  Quant* hi;
+  double ratio = 1.0;
+};
+
+// Speculative states evaluation, selection rule kept EXACTLY
+// (codebook.c:230-269). The reference sweeps states = 1, 2, ... per
+// context and stops at the first count whose quantized output entropy
+// reaches the target. Each candidate's quantizer is a pure function of
+// (pmf, states), so candidates can be designed in parallel WAVES across
+// all live contexts and the reference loop replayed in order afterwards
+// — speculated candidates past the stop point are discarded, never
+// consulted, and the chosen (lo, hi, ratio) doubles are bit-identical
+// by construction. This fills otherwise-idle cores when distinct
+// contexts << threads (high-rate designs: few contexts, deep sweeps —
+// the -c 4 -f 0.85 worst case that motivated it).
+// Reference-exact sequential sweep for one task (codebook.c:230-269).
+static void sweep_one(SweepTask& t, const double* dist,
+                      const double* dist_t) {
+  if (t.target == 0.0) {
+    lloyd_max(t.pmf, dist, dist_t, 1, t.lo);
+    lloyd_max(t.pmf, dist, dist_t, 1, t.hi);
+    t.ratio = 1.0;
+    return;
   }
   int states = 1;
-  lloyd_max(pmf, dist, dist_t, states, hi);
-  double hi_h = quantized_entropy(*hi, pmf);
+  lloyd_max(t.pmf, dist, dist_t, states, t.hi);
+  double hi_h = quantized_entropy(*t.hi, t.pmf);
   double lo_h = hi_h;
   for (;;) {
-    *lo = *hi;
+    *t.lo = *t.hi;
     lo_h = hi_h;
     ++states;
-    lloyd_max(pmf, dist, dist_t, states, hi);
-    hi_h = quantized_entropy(*hi, pmf);
-    if (!(hi_h < target && states < A)) break;
+    lloyd_max(t.pmf, dist, dist_t, states, t.hi);
+    hi_h = quantized_entropy(*t.hi, t.pmf);
+    if (!(hi_h < t.target && states < A)) break;
   }
-  if (hi_h < target) return 0.0;
-  if (lo_h >= target || hi_h == lo_h) return 1.0;
-  return (target - hi_h) / (lo_h - hi_h);
+  if (hi_h < t.target) t.ratio = 0.0;
+  else if (lo_h >= t.target || hi_h == lo_h) t.ratio = 1.0;
+  else t.ratio = (t.target - hi_h) / (lo_h - hi_h);
+}
+
+static void speculative_sweep(std::vector<SweepTask>& tasks,
+                              const double* dist, const double* dist_t,
+                              bool threaded) {
+  size_t n = tasks.size();
+  unsigned hw = std::thread::hardware_concurrency();
+  if (!hw) hw = 1;
+  // Enough tasks to fill the machine (or no threading budget at all):
+  // the classic schedule — every context runs its own sequential sweep,
+  // dynamically load-balanced, no barriers — is strictly better.
+  if (!threaded || n >= hw) {
+    parallel_for(n, threaded,
+                 [&](size_t i) { sweep_one(tasks[i], dist, dist_t); });
+    return;
+  }
+
+  struct Prog {
+    int last = 0;  // last evaluated state count
+    double last_h = 0.0;
+    Quant last_q;
+    bool done = false;
+  };
+  std::vector<Prog> prog(n);
+
+  // states = 1 for every task (terminal when target == 0: the
+  // reference designs the 1-state quantizer twice into lo and hi).
+  parallel_for(n, threaded, [&](size_t i) {
+    SweepTask& t = tasks[i];
+    Prog& p = prog[i];
+    lloyd_max(t.pmf, dist, dist_t, 1, &p.last_q);
+    p.last = 1;
+    p.last_h = quantized_entropy(p.last_q, t.pmf);
+    if (t.target == 0.0) {
+      *t.lo = p.last_q;
+      *t.hi = p.last_q;
+      t.ratio = 1.0;
+      p.done = true;
+    }
+  });
+
+  std::vector<size_t> live;
+  for (size_t i = 0; i < n; ++i) {
+    if (!prog[i].done) live.push_back(i);
+  }
+  struct Cand {
+    size_t task;
+    int states;
+  };
+  std::vector<Cand> cands;
+  while (!live.empty()) {
+    // Wave width: fill the machine. k == 1 (live >= threads, or the
+    // unthreaded call) degenerates to the exact sequential sweep with
+    // zero wasted designs.
+    int k = threaded ? static_cast<int>(hw / live.size()) : 1;
+    if (k < 1) k = 1;
+    if (k > 16) k = 16;
+    cands.clear();
+    for (size_t i : live) {
+      int lim = std::min(A, prog[i].last + k);
+      for (int s = prog[i].last + 1; s <= lim; ++s) cands.push_back({i, s});
+    }
+    std::vector<Quant> q(cands.size());
+    std::vector<double> h(cands.size());
+    parallel_for(cands.size(), threaded, [&](size_t ci) {
+      lloyd_max(tasks[cands[ci].task].pmf, dist, dist_t, cands[ci].states,
+                &q[ci]);
+      h[ci] = quantized_entropy(q[ci], tasks[cands[ci].task].pmf);
+    });
+    // Replay the reference loop over this wave's candidates in order.
+    std::vector<size_t> still;
+    size_t ci = 0;
+    for (size_t i : live) {
+      Prog& p = prog[i];
+      SweepTask& t = tasks[i];
+      for (; ci < cands.size() && cands[ci].task == i; ++ci) {
+        if (p.done) continue;
+        int s = cands[ci].states;
+        if (!(h[ci] < t.target && s < A)) {
+          double lo_h = p.last_h, hi_h = h[ci];
+          *t.lo = std::move(p.last_q);
+          *t.hi = std::move(q[ci]);
+          if (hi_h < t.target) t.ratio = 0.0;
+          else if (lo_h >= t.target || hi_h == lo_h) t.ratio = 1.0;
+          else t.ratio = (t.target - hi_h) / (lo_h - hi_h);
+          p.done = true;
+        } else {
+          p.last = s;
+          p.last_h = h[ci];
+          p.last_q = std::move(q[ci]);
+        }
+      }
+      if (!p.done) still.push_back(i);
+    }
+    live = std::move(still);
+  }
 }
 
 // ------------------------------------------------- codebook design
@@ -757,8 +873,10 @@ static std::vector<ColumnDesign> design_cluster(
   b0.input_syms = {0};
   b0.lo.resize(1);
   b0.hi.resize(1);
-  double ratio = optimize_for_entropy(pmf0, dist, dist_t.data(), target,
-                                      &b0.lo[0], &b0.hi[0]);
+  std::vector<SweepTask> t0(1);
+  t0[0] = {pmf0, target, &b0.lo[0], &b0.hi[0], 1.0};
+  speculative_sweep(t0, dist, dist_t.data(), threaded);
+  double ratio = t0[0].ratio;
   b0.lo[0].ratio = ratio;
   b0.hi[0].ratio = 1 - ratio;
   b0.ratio = {ratio};
@@ -874,18 +992,23 @@ static std::vector<ColumnDesign> design_cluster(
     }
 
     // Contexts are independent designs with disjoint outputs, so the
-    // threaded schedule cannot change any double-precision result.
-    parallel_for(uniq.size(), threaded, [&](size_t uj) {
+    // parallel/speculative schedule cannot change any double result.
+    std::vector<SweepTask> tasks(uniq.size());
+    for (size_t uj = 0; uj < uniq.size(); ++uj) {
       size_t j = uniq[uj];
       double tgt = (mode == 0) ? entropy_of(xpmf[j].data()) * opt_ratio
                                : opt_ratio;
-      double rj = optimize_for_entropy(xpmf[j].data(), dist, dist_t.data(),
-                                       tgt, &b.lo[j], &b.hi[j]);
+      tasks[uj] = {xpmf[j].data(), tgt, &b.lo[j], &b.hi[j], 1.0};
+    }
+    speculative_sweep(tasks, dist, dist_t.data(), threaded);
+    for (size_t uj = 0; uj < uniq.size(); ++uj) {
+      size_t j = uniq[uj];
+      double rj = tasks[uj].ratio;
       b.lo[j].ratio = rj;
       b.hi[j].ratio = 1 - rj;
       b.ratio[j] = rj;
       b.qratio[j] = static_cast<uint8_t>(rj * 128.0);
-    });
+    }
     for (size_t j = 0; j < un; ++j) {
       if (rep[j] != j) {
         b.lo[j] = b.lo[rep[j]];
