@@ -231,18 +231,43 @@ def main() -> None:
                 "jax.block_until_ready(o)\n"
                 "print('quantize_ms', (time.perf_counter()-t0)*100)\n"),
             "coder": prelude + (
-                "from qvz_tpu.ops.coder_device import _pass2\n"
+                # interval recurrence alone, VARYING triples (an
+                # all-constant stream lets XLA fold the step body into
+                # near-identity and times nothing)
+                "from qvz_tpu.ops.coder_device import _pass2, _fused_scan\n"
                 "W,steps=256,39063\n"  # ~10M syms, device-lane shape
-                "tl=jnp.zeros((steps,W),jnp.uint32)\n"
-                "th=jnp.ones((steps,W),jnp.uint32)\n"
-                "tn=jnp.ones((steps,W),jnp.uint32)\n"
+                "ti=(jnp.arange(steps,dtype=jnp.uint32)[:,None]\n"
+                "    + jnp.arange(W,dtype=jnp.uint32)[None,:])\n"
+                "tl=ti%2\n"
+                "th=tl+1\n"
+                "tn=jnp.full((steps,W),2,jnp.uint32)\n"
                 "c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
                 "best=1e9\n"
                 "for _ in range(3):\n"
                 "    t0=time.perf_counter()\n"
                 "    c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
-                "print('coder_pass2_ms', best*1000)\n"),
+                "print('coder_pass2_ms', best*1000)\n"
+                # fused production scan (model replay + interval) at a
+                # representative slot-table width
+                "S=64; L=489\n"
+                "it=jnp.arange(steps,dtype=jnp.int32)\n"
+                "iw=jnp.arange(W,dtype=jnp.int32)\n"
+                "slot=((it[:,None]+iw[None,:])%4)\n"
+                "z=jnp.zeros((steps,W),jnp.int32)\n"
+                "xs=(slot, z, z+4, z, z+1, z+4,\n"
+                "    jnp.zeros((steps,W),jnp.uint32),\n"
+                "    jnp.ones((steps,W),jnp.uint32),\n"
+                "    jnp.ones((steps,W),jnp.uint32),\n"
+                "    (it%L)==0)\n"
+                "c,_=_fused_scan(xs,W,S); jax.block_until_ready(c[0])\n"
+                "best=1e9\n"
+                "for _ in range(3):\n"
+                "    t0=time.perf_counter()\n"
+                "    c,_=_fused_scan(xs,W,S)\n"
+                "    jax.block_until_ready(c[0])\n"
+                "    best=min(best,time.perf_counter()-t0)\n"
+                "print('coder_fused_ms', best*1000)\n"),
         }
         env = dict(os.environ)
         env["PYTHONPATH"] = (str(REPO) + os.pathsep
@@ -274,6 +299,8 @@ def main() -> None:
                             log(f"tunnel/{k.replace('_MBps','')}: "
                                 f"{float(v):.0f} MB/s")
                             got = True
+                        elif line.startswith("device_kind "):
+                            telemetry["device_kind"] = line.split()[1]
                     if got:
                         break
                     log(f"device probe '{name}' attempt {attempt + 1}: "
@@ -296,23 +323,28 @@ def main() -> None:
         kind = str(telemetry.get("device_kind", "unknown"))
         peaks = rl.peaks_for(kind.replace("_", " "))
         util = {}
+        # the *_ms probe values are already per-pass milliseconds
         if "hist_ms" in telemetry:
             util["hist"] = rl.utilization(
                 rl.hist_bytes(100_000, 100, 1),
-                telemetry["hist_ms"] / 1e3 / 10, peaks)
+                telemetry["hist_ms"] / 1e3, peaks)
         if "kmeans_ms" in telemetry:
             util["kmeans"] = rl.utilization(
                 rl.kmeans_bytes(100_000, 100, 4),
-                telemetry["kmeans_ms"] / 1e3 / 10, peaks,
+                telemetry["kmeans_ms"] / 1e3, peaks,
                 flops=rl.kmeans_flops(100_000, 100, 4))
         if "quantize_ms" in telemetry:
             util["quantize"] = rl.utilization(
                 rl.quantize_bytes(100_000, 100),
-                telemetry["quantize_ms"] / 1e3 / 10, peaks)
+                telemetry["quantize_ms"] / 1e3, peaks)
         if "coder_pass2_ms" in telemetry:
             util["coder_pass2"] = rl.utilization(
                 rl.coder_pass2_bytes(39063, 256),
                 telemetry["coder_pass2_ms"] / 1e3, peaks)
+        if "coder_fused_ms" in telemetry:
+            util["coder_fused"] = rl.utilization(
+                rl.coder_fused_bytes(39063, 256, 64),
+                telemetry["coder_fused_ms"] / 1e3, peaks)
         if util:
             telemetry["utilization"] = util
             log(f"utilization vs {peaks.name} peaks: "

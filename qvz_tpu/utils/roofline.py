@@ -99,6 +99,14 @@ def coder_pass2_bytes(steps: int, lanes: int) -> int:
     return 4 * (3 + 2) * steps * lanes + 2 * steps * lanes
 
 
+def coder_fused_bytes(steps: int, lanes: int, slots: int) -> int:
+    # The fused scan's dominant traffic is the carried occurrence-count
+    # table: per step it is read by three masked range-sums and written
+    # back once (VMEM-resident; this model treats it as the kernel's
+    # working traffic), plus the per-step slot/triple input streams.
+    return steps * lanes * (4 * slots * 4 + 10 * 4)
+
+
 def coder_pass1_bytes(cols: int, lanes: int, lane_len: int,
                       slots: int) -> int:
     # read mid/qs i32; write 3 u32 triples. The (W, L, S) one-hot
