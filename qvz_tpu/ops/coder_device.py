@@ -199,9 +199,14 @@ def _shl64_small(hi, lo, s):
 
 
 def _exact_div(rng, cum, n):
-    """floor(rng * cum / n), exact, for rng < 2^22, cum <= n < 2^20."""
-    q = (rng.astype(jnp.float32) * cum.astype(jnp.float32)
-         / n.astype(jnp.float32)).astype(_U32)
+    """floor(rng * cum / n), exact, for rng < 2^22, cum <= n < 2^20.
+
+    Casts route through int32 (values are < 2^22, so exact): Mosaic
+    has no uint32<->float32 lowering, and the int32 detour produces
+    bit-identical f32 values on the XLA path too."""
+    q = (rng.astype(_I32).astype(jnp.float32)
+         * cum.astype(_I32).astype(jnp.float32)
+         / n.astype(_I32).astype(jnp.float32)).astype(_I32).astype(_U32)
     a_lo = rng * cum                       # exact mod 2^32
     for _ in range(4):
         r = (a_lo - q * n).astype(_I32)    # true remainder in (-4n, 5n)
@@ -531,9 +536,19 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
         # unreliable on remote-attached backends)
         timings["precompute"] = time.perf_counter() - t_seg
         t_seg = time.perf_counter()
-    carry, (w0, w1, f0, f1) = _fused_scan(
-        (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn, reset),
-        W, S, unroll=unroll)
+    xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn, reset)
+    # The Mosaic kernel runs the identical step body with the counts
+    # table VMEM-resident — the XLA scan pays ~25 us/step of per-op
+    # dispatch overhead on accelerators (see coder_pallas docstring).
+    from qvz_tpu.ops import coder_pallas
+    use_pallas = (jax.default_backend() != "cpu"
+                  and os.environ.get("QVZ_TPU_CODER_PALLAS", "1") != "0"
+                  and coder_pallas.fits(W, S))
+    if use_pallas:
+        carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_pallas(
+            xs, W, S)
+    else:
+        carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S, unroll=unroll)
     l, u, s3, buf, cnt, of = carry[:6]
     flags = np.asarray(of)
     if timings is not None:

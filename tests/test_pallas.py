@@ -80,3 +80,36 @@ def test_cond_hist_matches_oracle(n, cols, K):
         base = int(cl[i]) * 72
         np.add.at(want, (np.arange(cols - 1), base + row[:-1], row[1:]), 1)
     assert np.array_equal(cond, want)
+
+
+def test_coder_pallas_matches_fused_scan():
+    """Interpret-mode Mosaic coder == the XLA fused scan, element-exact
+    (the compiled-on-chip equivalence is gated in test_tpu_onchip)."""
+    from qvz_tpu.ops.coder_device import _fused_scan
+    from qvz_tpu.ops.coder_pallas import fused_scan_pallas
+
+    rng = np.random.default_rng(3)
+    T, W, S, L = 600, 40, 37, 200
+    slot = rng.integers(-1, S, size=(T, W)).astype(np.int32)
+    sb = np.clip(slot - rng.integers(0, 4, (T, W)), 0, S - 1)
+    sbc = np.clip(slot + rng.integers(1, 6, (T, W)),
+                  sb + 1, S).astype(np.int32)
+    blo = rng.integers(0, 3, (T, W)).astype(np.int32)
+    init_at = rng.integers(1, 3, (T, W)).astype(np.int32)
+    ninit = (blo + init_at + rng.integers(0, 5, (T, W))).astype(np.int32)
+    etl = np.zeros((T, W), np.uint32)
+    eth = np.ones((T, W), np.uint32)
+    etn = np.full((T, W), 2, np.uint32)
+    etl[:, ::3] = 1
+    etn[:, ::3] = 3
+    eth[:, ::3] = 2
+    reset = (np.arange(T) % L) == 0
+    xs = tuple(jnp.asarray(a) for a in
+               (slot, sb.astype(np.int32), sbc, blo, init_at, ninit,
+                etl, eth, etn, reset))
+    carry_ref, ys_ref = _fused_scan(xs, W, S)
+    carry_p, ys_p = fused_scan_pallas(xs, W, S, interpret=True)
+    for a, b in zip(carry_ref[:6], carry_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(ys_ref, ys_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
