@@ -546,7 +546,7 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
                   and coder_pallas.fits(W, S))
     if use_pallas:
         carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_pallas(
-            xs, W, S)
+            xs, W, S, max_run=L)
     else:
         carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S, unroll=unroll)
     l, u, s3, buf, cnt, of = carry[:6]

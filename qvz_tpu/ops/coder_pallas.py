@@ -32,6 +32,7 @@ XLA scan when it fails (e.g. high-rate designs at wide W).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -47,6 +48,7 @@ _U32 = jnp.uint32
 
 _LANE = 128
 _BS = 64               # coding steps per grid block
+_UNROLL = 1            # measured: unrolling the step loop does not help
 _SC = 512              # slot-axis chunk per masked-sum pass
 _VMEM_BUDGET = 6 * 2 ** 20   # counts-table budget (bytes)
 
@@ -62,14 +64,17 @@ def fits(W: int, S: int) -> bool:
 def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
             init_ref, nin_ref, etl_ref, eth_ref, etn_ref,
             w0_ref, w1_ref, fl_ref, st_ref,
-            counts_ref, state_ref, *, bs, s_pad, sc):
+            counts_ref, state_ref, *, bs, s_pad, sc, unroll):
     i = pl.program_id(0)
+    cdt = counts_ref.dtype              # int16 when lane runs allow
 
     @pl.when(i == 0)
     def _():
         counts_ref[:] = jnp.zeros_like(counts_ref)
 
     shape = slot_ref.shape[1:]          # (W8, 128)
+    # hoisted chunk-local iota (constant across steps)
+    io0 = jax.lax.broadcasted_iota(_I32, (sc,) + shape, 0).astype(cdt)
 
     def init_carry():
         z = jnp.zeros(shape, _U32)
@@ -78,8 +83,7 @@ def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
     def load_carry():
         return tuple(state_ref[k] for k in range(6))
 
-    l, u, s3, buf, cnt, of = jax.lax.cond(
-        i == 0, init_carry, load_carry)
+    carry0 = jax.lax.cond(i == 0, init_carry, load_carry)
 
     def step(t, carry):
         l, u, s3, buf, cnt, of = carry
@@ -92,34 +96,43 @@ def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
         sb = sb_ref[t]
         sbc = sbc_ref[t]
         live = slot >= 0
+        # narrow copies for the table ops (occurrence counts and their
+        # range sums are bounded by the lane run length — see fits16)
+        slot_c = slot.astype(cdt)
+        sb_c = sb.astype(cdt)
+        sbc_c = sbc.astype(cdt)
+        livec = live.astype(cdt)
 
         # Masked range sums over the slot table, chunked; chunks at or
         # past this block's max sbc hold no slot any step can touch, so
         # the trip count is dynamic (scalar-prefetched block bound) —
         # short columns and the cluster-id segment (bound 0) skip the
         # table entirely.
-        zi = jnp.zeros(shape, _I32)
-        livei = live.astype(_I32)
+        zc = jnp.zeros(shape, cdt)
 
         def chunk(ci, acc):
             s_lo, s_tot, prior = acc
             c0 = ci * sc
             c = counts_ref[pl.ds(c0, sc)]               # (sc, W8, 128)
-            io = jax.lax.broadcasted_iota(
-                _I32, (sc,) + shape, 0) + c0
-            in_m = io >= sb[None]
+            io = io0 + c0.astype(cdt)
+            in_m = io >= sb_c[None]
             s_lo = s_lo + jnp.sum(
-                c * ((io < slot[None]) & in_m), axis=0)
+                c * ((io < slot_c[None]) & in_m).astype(cdt), axis=0,
+                dtype=cdt)
             s_tot = s_tot + jnp.sum(
-                c * ((io < sbc[None]) & in_m), axis=0)
-            eq = (io == slot[None]).astype(_I32)
-            prior = prior + jnp.sum(c * eq, axis=0)
-            counts_ref[pl.ds(c0, sc)] = c + eq * livei[None]
+                c * ((io < sbc_c[None]) & in_m).astype(cdt), axis=0,
+                dtype=cdt)
+            eq = (io == slot_c[None]).astype(cdt)
+            prior = prior + jnp.sum(c * eq, axis=0, dtype=cdt)
+            counts_ref[pl.ds(c0, sc)] = c + eq * livec[None]
             return (s_lo, s_tot, prior)
 
         nch = (sbound_ref[i] + sc - 1) // sc
         s_lo, s_tot, prior = jax.lax.fori_loop(
-            0, nch, chunk, (zi, zi, zi))
+            0, nch, chunk, (zc, zc, zc))
+        s_lo = s_lo.astype(_I32)
+        s_tot = s_tot.astype(_I32)
+        prior = prior.astype(_I32)
 
         cum_lo = blo_ref[t] + STEP * s_lo
         cum_hi = cum_lo + init_ref[t] + STEP * prior
@@ -140,19 +153,30 @@ def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
         return (l, u, s3i.astype(_U32), buf, cnti.astype(_U32),
                 of | of2.astype(_U32))
 
+    def steps(k, carry):
+        for j in range(unroll):         # amortize loop overhead
+            carry = step(k * unroll + j, carry)
+        return carry
+
     l, u, s3, buf, cnt, of = jax.lax.fori_loop(
-        0, bs, step, (l, u, s3, buf, cnt, of))
+        0, bs // unroll, steps, carry0)
     for k, v in enumerate((l, u, s3, buf, cnt, of)):
         state_ref[k] = v
         st_ref[k] = v
 
 
-@partial(jax.jit, static_argnames=("W", "S", "interpret"))
-def fused_scan_pallas(xs, W, S, interpret=False):
+@partial(jax.jit, static_argnames=("W", "S", "max_run", "interpret"))
+def fused_scan_pallas(xs, W, S, max_run=None, interpret=False):
     """Same contract as coder_device._fused_scan (minus the counts
     carry): xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth,
     etn, reset) with (T, W) streams; returns ((l, u, s3, buf, cnt, of),
-    (w0, w1, f0, f1))."""
+    (w0, w1, f0, f1)).
+
+    max_run: static bound on steps between counts resets (the lane/
+    column run length). When every occurrence count and range sum
+    provably fits int16 (max_run < 2^15 and S < 2^15), the slot table
+    and its masked sums run at 16-bit — double VPU lane throughput on
+    the kernel's dominant term."""
     slot, sb, sbc, blo, init_at, ninit, etl, eth, etn, reset = xs
     T = slot.shape[0]
     w_pad = -(-W // _LANE) * _LANE
@@ -160,6 +184,14 @@ def fused_scan_pallas(xs, W, S, interpret=False):
     sc = min(_SC, -(-S // 8) * 8)
     s_pad = -(-S // sc) * sc            # dynamic chunk slices need
     # every chunk full-size
+    run = T if max_run is None else max_run
+    # int16 halves the dominant masked-sum cost but this Mosaic
+    # toolchain cannot lower reductions over int16 (verified on-chip:
+    # "Reductions over int16 not implemented") — opt-in for future
+    # toolchains; value-safety condition kept exact.
+    use_i16 = (os.environ.get("QVZ_TPU_CODER_I16") == "1"
+               and run < 2 ** 15 and s_pad < 2 ** 15)
+    cdt = jnp.int16 if use_i16 else _I32
 
     def pad(a, fill):
         a = jnp.pad(a, ((0, t_pad - T), (0, w_pad - W)),
@@ -186,12 +218,12 @@ def fused_scan_pallas(xs, W, S, interpret=False):
                    pl.BlockSpec((6, w8, _LANE), lambda i, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((s_pad, w8, _LANE), _I32),
+            pltpu.VMEM((s_pad, w8, _LANE), cdt),
             pltpu.VMEM((6, w8, _LANE), _U32),
         ],
     )
     w0, w1, fl, st = pl.pallas_call(
-        partial(_kernel, bs=_BS, s_pad=s_pad, sc=sc),
+        partial(_kernel, bs=_BS, s_pad=s_pad, sc=sc, unroll=_UNROLL),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, w8, _LANE), _U32),
