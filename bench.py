@@ -170,11 +170,18 @@ def main() -> None:
         # resident buffers). Run in a watchdogged subprocess — the shared-
         # tunnel TPU in this environment has unbounded cold-start variance
         # and must not be able to stall the headline measurement.
+        # NOTE every probe fences with a tiny np.asarray readback:
+        # block_until_ready is unreliable on this remote-attached
+        # backend (returns before execution finishes — measured a 39k-
+        # step sequential scan "completing" in 0.13 ms), and the fence
+        # itself costs ~0.02 ms.
         prelude = (
             "import time,numpy as np,jax\n"
             "import jax.numpy as jnp\n"
             "print('device_kind', jax.devices()[0].device_kind"
             ".replace(' ','_'))\n"
+            "def fence(x):\n"
+            "    np.asarray(x.reshape(-1)[:1])\n"
             "rng=np.random.default_rng(0)\n"
             "d=rng.integers(0,72,size=(100_000,100)).astype(np.uint8)\n")
         probes = {
@@ -193,10 +200,10 @@ def main() -> None:
                 "from qvz_tpu.ops.stats import _hist_device\n"
                 "dd=jax.device_put(d); cl=jax.device_put("
                 "np.zeros(100_000,dtype=np.uint8))\n"
-                "c0,cd=_hist_device(dd,cl,1); cd.block_until_ready()\n"
+                "c0,cd=_hist_device(dd,cl,1); fence(cd)\n"
                 "t0=time.perf_counter()\n"
                 "for _ in range(10): c0,cd=_hist_device(dd,cl,1)\n"
-                "cd.block_until_ready()\n"
+                "fence(cd)\n"
                 "print('hist_ms', (time.perf_counter()-t0)*100)\n"),
             "kmeans": prelude + (
                 "from qvz_tpu.ops.pallas_kernels import "
@@ -205,11 +212,11 @@ def main() -> None:
                 "jnp.int32)\n"
                 "dp=jax.device_put(pad_rows(d))\n"
                 "a,s,c=kmeans_step_fused(dp,m,jnp.int32(100_000),4)\n"
-                "jax.block_until_ready((a,s,c))\n"
+                "fence(c)\n"
                 "t0=time.perf_counter()\n"
                 "for _ in range(10): a,s,c=kmeans_step_fused(dp,m,"
                 "jnp.int32(100_000),4)\n"
-                "jax.block_until_ready((a,s,c))\n"
+                "fence(c)\n"
                 "print('kmeans_ms', (time.perf_counter()-t0)*100)\n"),
             "quantize": prelude + (
                 "from qvz_tpu.ops.quantize import _quantize_device\n"
@@ -225,10 +232,10 @@ def main() -> None:
                 "200))\n"
                 "f=lambda: _quantize_device(dt,drw,cb,100,ct,pb,qr,"
                 "qv,qv)\n"
-                "o=f(); jax.block_until_ready(o)\n"
+                "o=f(); fence(o[0])\n"
                 "t0=time.perf_counter()\n"
                 "for _ in range(10): o=f()\n"
-                "jax.block_until_ready(o)\n"
+                "fence(o[0])\n"
                 "print('quantize_ms', (time.perf_counter()-t0)*100)\n"),
             "coder": prelude + (
                 # interval recurrence alone, VARYING triples (an
@@ -241,11 +248,11 @@ def main() -> None:
                 "tl=ti%2\n"
                 "th=tl+1\n"
                 "tn=jnp.full((steps,W),2,jnp.uint32)\n"
-                "c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
+                "c,_=_pass2(tl,th,tn); fence(c[0])\n"
                 "best=1e9\n"
                 "for _ in range(3):\n"
                 "    t0=time.perf_counter()\n"
-                "    c,_=_pass2(tl,th,tn); jax.block_until_ready(c)\n"
+                "    c,_=_pass2(tl,th,tn); fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
                 "print('coder_pass2_ms', best*1000)\n"
                 # fused production scan (model replay + interval) at a
@@ -260,14 +267,23 @@ def main() -> None:
                 "    jnp.ones((steps,W),jnp.uint32),\n"
                 "    jnp.ones((steps,W),jnp.uint32),\n"
                 "    (it%L)==0)\n"
-                "c,_=_fused_scan(xs,W,S); jax.block_until_ready(c[0])\n"
+                "c,_=_fused_scan(xs,W,S); fence(c[0])\n"
                 "best=1e9\n"
                 "for _ in range(3):\n"
                 "    t0=time.perf_counter()\n"
                 "    c,_=_fused_scan(xs,W,S)\n"
-                "    jax.block_until_ready(c[0])\n"
+                "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
-                "print('coder_fused_ms', best*1000)\n"),
+                "print('coder_fused_ms', best*1000)\n"
+                "from qvz_tpu.ops.coder_pallas import fused_scan_pallas\n"
+                "c,_=fused_scan_pallas(xs,W,S); fence(c[0])\n"
+                "best=1e9\n"
+                "for _ in range(3):\n"
+                "    t0=time.perf_counter()\n"
+                "    c,_=fused_scan_pallas(xs,W,S)\n"
+                "    fence(c[0])\n"
+                "    best=min(best,time.perf_counter()-t0)\n"
+                "print('coder_mosaic_ms', best*1000)\n"),
         }
         env = dict(os.environ)
         env["PYTHONPATH"] = (str(REPO) + os.pathsep
@@ -345,6 +361,10 @@ def main() -> None:
             util["coder_fused"] = rl.utilization(
                 rl.coder_fused_bytes(39063, 256, 64),
                 telemetry["coder_fused_ms"] / 1e3, peaks)
+        if "coder_mosaic_ms" in telemetry:
+            util["coder_mosaic"] = rl.utilization(
+                rl.coder_fused_bytes(39063, 256, 64),
+                telemetry["coder_mosaic_ms"] / 1e3, peaks)
         if util:
             telemetry["utilization"] = util
             log(f"utilization vs {peaks.name} peaks: "
