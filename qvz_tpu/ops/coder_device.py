@@ -149,6 +149,34 @@ class LanePlan:
         self.cluster_init_counts = counts_init[: int(cards[0])].copy()
         self.cluster_init_total = int(totals_init[0])
 
+        # v2 per-slot column tables (Mosaic kernel): the model id owning
+        # each slot (-1 pad) and the slot's local symbol index — the
+        # kernel derives every replay quantity by comparing these to the
+        # raw (mid, qs) streams, removing the gather-based per-step
+        # precompute entirely (coder_pallas._kernel2).
+        mkey = np.full((cols, S), -1, dtype=np.int32)
+        qskey = np.zeros((cols, S), dtype=np.int32)
+        for c in range(cols):
+            pos = 0
+            for m in col_models[c]:
+                k = int(cards[m])
+                mkey[c, pos:pos + k] = m
+                qskey[c, pos:pos + k] = np.arange(k, dtype=np.int32)
+                pos += k
+        self.mkey = mkey
+        self.qskey = qskey
+        # packed per-slot key: owning model id * 128 + local symbol
+        # index (-1 pad) — the kernel's only slot table
+        self.kq = np.where(
+            mkey >= 0, mkey.astype(np.int64) * 128 + qskey,
+            -1).astype(np.int32)
+        self.col_slots = col_slots.astype(np.int32)
+        # sbc (slot_base + card) per global model id — monotone within
+        # a column's model range; the kernel's per-block slot bound is
+        # sbc(max mid in block)
+        self.sbc_of_mid = (slot_base
+                           + cards.astype(np.int32)).astype(np.int32)
+
 
 # --------------------------------------------------------------------------
 # u32 bit plumbing (all shift amounts kept strictly inside [0, 31]).
@@ -493,61 +521,111 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
     W_real = W
     W, L = Wb, Lb
     S = plan.S
-
-    slot, sb, sbc, base_lo, init_at, ninit = _precompute(
-        jnp.asarray(mid_lanes, _I32), jnp.asarray(qs_lanes, _I32),
-        jnp.asarray(valid), jnp.asarray(plan.init_counts_cols, _U32),
-        jnp.asarray(plan.slot_base, _I32), jnp.asarray(plan.cards, _I32),
-        jnp.asarray(plan.totals, _U32), S)
+    csteps = cols * L
 
     def seg(t):  # (cols, W, L) -> (cols*L, W)
         return jnp.swapaxes(t, 1, 2).reshape(cols * L, W)
 
-    slot, sb, sbc, base_lo, init_at, ninit = (
-        seg(t) for t in (slot, sb, sbc, base_lo, init_at, ninit))
-    csteps = cols * L
-    # explicit triples: only consulted where slot < 0 (no-op steps use
-    # the canonical (0, 1, 1), which provably neither moves the interval
-    # nor emits bits)
-    etl = jnp.zeros((csteps, W), _U32)
-    eth = jnp.ones((csteps, W), _U32)
-    etn = jnp.ones((csteps, W), _U32)
-    reset = (jnp.arange(csteps, dtype=_I32) % L) == 0
-
-    if cluster_triples is not None:
-        ct = jnp.asarray(cluster_triples, _U32)       # (W, L, 3)
-        zi = jnp.zeros((L, W), _I32)
-        slot = jnp.concatenate([zi - 1, slot])
-        sb = jnp.concatenate([zi, sb])
-        sbc = jnp.concatenate([zi, sbc])
-        base_lo = jnp.concatenate([zi, base_lo])
-        init_at = jnp.concatenate([zi, init_at])
-        ninit = jnp.concatenate([zi, ninit])
-        etl = jnp.concatenate([jnp.swapaxes(ct[..., 0], 0, 1), etl])
-        eth = jnp.concatenate([jnp.swapaxes(ct[..., 1], 0, 1), eth])
-        etn = jnp.concatenate([jnp.swapaxes(ct[..., 2], 0, 1), etn])
-        reset = jnp.concatenate(
-            [jnp.zeros(L, bool), reset])
-
-    unroll = int(os.environ.get("QVZ_TPU_CODER_UNROLL", "0")) or \
-        (1 if jax.default_backend() == "cpu" else 8)
-    if timings is not None:
-        np.asarray(slot[0])  # readback fence (block_until_ready is
-        # unreliable on remote-attached backends)
-        timings["precompute"] = time.perf_counter() - t_seg
-        t_seg = time.perf_counter()
-    xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn, reset)
     # The Mosaic kernel runs the identical step body with the counts
     # table VMEM-resident — the XLA scan pays ~25 us/step of per-op
-    # dispatch overhead on accelerators (see coder_pallas docstring).
+    # dispatch overhead on accelerators — and derives the replay
+    # quantities IN-KERNEL from the raw (mid, qs) streams vs the plan's
+    # per-slot tables (the gather-based _precompute measured 2.6 s per
+    # 52M symbols on a v5e). "interpret" forces the kernel through the
+    # Pallas interpreter on any backend (CPU equivalence tests).
     from qvz_tpu.ops import coder_pallas
-    use_pallas = (jax.default_backend() != "cpu"
-                  and os.environ.get("QVZ_TPU_CODER_PALLAS", "1") != "0"
-                  and coder_pallas.fits(W, S))
+    pallas_flag = os.environ.get("QVZ_TPU_CODER_PALLAS", "1")
+    use_pallas = (pallas_flag != "0"
+                  and (jax.default_backend() != "cpu"
+                       or pallas_flag == "interpret")
+                  and L <= 2047
+                  and coder_pallas.lane_group(W, S) > 0)
     if use_pallas:
-        carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_pallas(
-            xs, W, S, max_run=L)
+        mid_s = seg(jnp.asarray(mid_lanes, _I32))
+        qs_s = seg(jnp.asarray(qs_lanes, _I32))
+        etl = jnp.zeros((csteps, W), _U32)
+        eth = jnp.ones((csteps, W), _U32)
+        etn = jnp.ones((csteps, W), _U32)
+        reset = (jnp.arange(csteps, dtype=_I32) % L) == 0
+        if cluster_triples is not None:
+            ct = jnp.asarray(cluster_triples, _U32)   # (W, L, 3)
+            zi = jnp.zeros((L, W), _I32)
+            mid_s = jnp.concatenate([zi, mid_s])
+            qs_s = jnp.concatenate([zi, qs_s])
+            etl = jnp.concatenate([jnp.swapaxes(ct[..., 0], 0, 1), etl])
+            eth = jnp.concatenate([jnp.swapaxes(ct[..., 1], 0, 1), eth])
+            etn = jnp.concatenate([jnp.swapaxes(ct[..., 2], 0, 1), etn])
+            reset = jnp.concatenate([jnp.zeros(L, bool), reset])
+        if timings is not None:
+            np.asarray(mid_s.reshape(-1)[:1])   # readback fence
+            timings["precompute"] = time.perf_counter() - t_seg
+            t_seg = time.perf_counter()
+        tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
+                plan.sbc_of_mid)
+        interp = pallas_flag == "interpret"
+        wg = coder_pallas.lane_group(W, S)
+        if wg >= W:
+            carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_tables(
+                (mid_s, qs_s, etl, eth, etn, reset), tabs, W, S, L,
+                interpret=interp)
+        else:
+            # lanes are independent streams: wider-than-VMEM lane sets
+            # run the kernel in groups with identical per-lane results
+            parts = []
+            for g0 in range(0, W, wg):
+                g1 = min(W, g0 + wg)
+                sg = tuple(a[:, g0:g1]
+                           for a in (mid_s, qs_s, etl, eth, etn))
+                parts.append(coder_pallas.fused_scan_tables(
+                    sg + (reset,), tabs, g1 - g0, S, L,
+                    interpret=interp))
+            carry = tuple(
+                jnp.concatenate([p[0][k] for p in parts])
+                for k in range(6))
+            w0, w1, f0, f1 = (
+                jnp.concatenate([p[1][k] for p in parts], axis=1)
+                for k in range(4))
     else:
+        slot, sb, sbc, base_lo, init_at, ninit = _precompute(
+            jnp.asarray(mid_lanes, _I32), jnp.asarray(qs_lanes, _I32),
+            jnp.asarray(valid), jnp.asarray(plan.init_counts_cols,
+                                            _U32),
+            jnp.asarray(plan.slot_base, _I32),
+            jnp.asarray(plan.cards, _I32),
+            jnp.asarray(plan.totals, _U32), S)
+
+        slot, sb, sbc, base_lo, init_at, ninit = (
+            seg(t) for t in (slot, sb, sbc, base_lo, init_at, ninit))
+        # explicit triples: only consulted where slot < 0 (no-op steps
+        # use the canonical (0, 1, 1), which provably neither moves the
+        # interval nor emits bits)
+        etl = jnp.zeros((csteps, W), _U32)
+        eth = jnp.ones((csteps, W), _U32)
+        etn = jnp.ones((csteps, W), _U32)
+        reset = (jnp.arange(csteps, dtype=_I32) % L) == 0
+
+        if cluster_triples is not None:
+            ct = jnp.asarray(cluster_triples, _U32)   # (W, L, 3)
+            zi = jnp.zeros((L, W), _I32)
+            slot = jnp.concatenate([zi - 1, slot])
+            sb = jnp.concatenate([zi, sb])
+            sbc = jnp.concatenate([zi, sbc])
+            base_lo = jnp.concatenate([zi, base_lo])
+            init_at = jnp.concatenate([zi, init_at])
+            ninit = jnp.concatenate([zi, ninit])
+            etl = jnp.concatenate([jnp.swapaxes(ct[..., 0], 0, 1), etl])
+            eth = jnp.concatenate([jnp.swapaxes(ct[..., 1], 0, 1), eth])
+            etn = jnp.concatenate([jnp.swapaxes(ct[..., 2], 0, 1), etn])
+            reset = jnp.concatenate([jnp.zeros(L, bool), reset])
+
+        unroll = int(os.environ.get("QVZ_TPU_CODER_UNROLL", "0")) or \
+            (1 if jax.default_backend() == "cpu" else 8)
+        if timings is not None:
+            np.asarray(slot.reshape(-1)[:1])    # readback fence
+            timings["precompute"] = time.perf_counter() - t_seg
+            t_seg = time.perf_counter()
+        xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn,
+              reset)
         carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S, unroll=unroll)
     l, u, s3, buf, cnt, of = carry[:6]
     flags = np.asarray(of)

@@ -49,16 +49,42 @@ _U32 = jnp.uint32
 _LANE = 128
 _BS = 64               # coding steps per grid block
 _UNROLL = 1            # measured: unrolling the step loop does not help
-_SC = 512              # slot-axis chunk per masked-sum pass
+_SC = 384              # slot-axis chunk per masked-sum pass
 _VMEM_BUDGET = 6 * 2 ** 20   # counts-table budget (bytes)
 
 
+def _spad(S: int) -> tuple[int, int]:
+    sc = min(_SC, -(-S // _LANE) * _LANE)
+    return -(-S // sc) * sc, sc
+
+
 def fits(W: int, S: int) -> bool:
-    """True when the counts table for (W lanes, S slots) fits the
-    kernel's VMEM budget."""
-    s_pad = -(-S // 8) * 8
+    """True when the kernel's whole VMEM working set — counts table,
+    per-chunk masked-sum temporaries, double-buffered stream/table/
+    output blocks — fits the ~16 MB core VMEM with headroom (the temp
+    term calibrated against a measured 16.94 MB compile at W=1024,
+    S_pad=1152, sc=384)."""
+    s_pad, sc = _spad(S)
     w_pad = -(-W // _LANE) * _LANE
-    return s_pad * w_pad * 4 <= _VMEM_BUDGET
+    counts = s_pad * w_pad * 4
+    key_wide = s_pad * w_pad * 4
+    temps = 5 * sc * w_pad * 4
+    tables = 2 * s_pad * _LANE * 4      # single-buffered VMEM scratch
+    streams = (5 + 3) * _BS * w_pad * 4 * 2
+    counts = counts + key_wide
+    return counts + temps + tables + streams <= 13 * 2 ** 20
+
+
+def lane_group(W: int, S: int) -> int:
+    """Largest lane-group width (multiple of 128) that fits VMEM;
+    0 if even 128 lanes do not fit. Lanes are independent streams, so
+    callers may run the kernel per group with identical results."""
+    w = -(-W // _LANE) * _LANE
+    while w >= _LANE:
+        if fits(w, S):
+            return w
+        w //= 2
+    return 0
 
 
 def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
@@ -163,6 +189,263 @@ def _kernel(reset_ref, sbound_ref, slot_ref, sb_ref, sbc_ref, blo_ref,
     for k, v in enumerate((l, u, s3, buf, cnt, of)):
         state_ref[k] = v
         st_ref[k] = v
+
+
+def _kernel2(reset_ref, sbound_ref, colmap_ref,
+             mid_ref, qs_ref, etl_ref, eth_ref, etn_ref,
+             kq_ref, icc_ref,
+             w0_ref, w1_ref, fl_ref, st_ref,
+             counts_ref, state_ref, tabs_ref, kqw_ref, dma_sem, *, bs,
+             s_pad, sc):
+    """v2: NO precomputed per-step streams beyond the quantize outputs.
+
+    Every model-replay quantity is derived inside the chunk loop from
+    two per-slot column tables compared against the raw (mid, qs)
+    streams: mkey[s] = global model id owning slot s (-1 pad),
+    qskey[s] = the slot's local symbol index. Masks:
+        owner  = mkey == mid          (model's slot range)
+        below  = owner & (qskey < qs) (slots strictly below ours)
+        eq     = owner & (qskey == qs)
+    and the coder inputs are paired range sums of the occurrence table
+    AND the init-count table over those masks:
+        cum_lo = sum(icc*below) + 8*sum(counts*below)
+        total  = sum(icc*owner) + 8*sum(counts*owner)
+        prior/init_at from eq. This replaces the XLA gather-based
+    _precompute (measured 2.6 s per 52M symbols — pathological) with
+    ~6 extra VPU ops per chunk element."""
+    i = pl.program_id(0)
+    shape = mid_ref.shape[1:]           # (W8, 128)
+
+    # Column tables live in HBM; once per COLUMN the current column's
+    # slices are DMA'd into VMEM (auto-pipelined per-block fetches
+    # measured ~1.8 MB x n_blocks of redundant traffic) and the packed
+    # slot-key table is pre-broadcast across the lane grid (a per-chunk
+    # middle-axis broadcast measured 6.5x slower than v1 — Mosaic
+    # scalarizes it; a major-axis broadcast per chunk is free).
+    # tabs_ref rows: 0 = kq (mkey*128 + qskey, -1 pad), 1 = icc.
+    col = colmap_ref[i]
+    first = i == 0
+
+    @pl.when(first | (col != colmap_ref[jnp.maximum(i - 1, 0)]))
+    def _():
+        for k, src in enumerate((kq_ref, icc_ref)):
+            pltpu.make_async_copy(src.at[col], tabs_ref.at[k],
+                                  dma_sem.at[k]).start()
+        for k, src in enumerate((kq_ref, icc_ref)):
+            pltpu.make_async_copy(src.at[col], tabs_ref.at[k],
+                                  dma_sem.at[k]).wait()
+        # per-plane 2-D copies: a (s_pad, 1, 128) -> (s_pad, W8, 128)
+        # middle-axis broadcast scalarizes in Mosaic
+        for k in range(kqw_ref.shape[1]):
+            kqw_ref[:, k, :] = tabs_ref[0]
+
+    # Column starts are always block-aligned (L % BS == 0, and the
+    # leading explicit segment is L steps), so the counts reset hoists
+    # out of the step loop: a per-STEP pl.when whose body does sliced
+    # stores is predicated by Mosaic, not branched, and was measured
+    # to dominate the kernel.
+    @pl.when(reset_ref[i * bs] == 1)
+    def _():
+        v = tabs_ref[1] << 12
+        for k in range(counts_ref.shape[1]):
+            counts_ref[:, k, :] = v
+
+    # combo counts table: init counts in the high 20 bits (their
+    # masked sums stay < 2^20: model totals are capped at r + 8), live
+    # occurrence counts in the low 12 (lane run <= 2047 enforced by
+    # the caller; sums stay < 2^12 — the fields cannot carry). int32
+    # throughout (Mosaic has no unsigned reductions); adds/multiplies
+    # are bit-exact mod 2^32 and fields extract with logical shifts.
+
+    def init_carry():
+        z = jnp.zeros(shape, _U32)
+        return (z, jnp.full(shape, FULL, _U32), z, z, z, z)
+
+    def load_carry():
+        return tuple(state_ref[k] for k in range(6))
+
+    carry0 = jax.lax.cond(i == 0, init_carry, load_carry)
+
+    def step(t, carry):
+        l, u, s3, buf, cnt, of = carry
+
+        mid = mid_ref[t]
+        qs = qs_ref[t]
+        live = mid > 0
+        livec = live.astype(_I32)
+        zi = jnp.zeros(shape, _I32)
+        m128 = mid << 7                 # model's key base
+
+        def chunk(ci, acc):
+            a_lo, a_tot, a_eq = acc
+            c0 = ci * sc
+            c = counts_ref[pl.ds(c0, sc)]               # (sc, W8, 128)
+            # d = slot key - model key base: in [0, card) exactly on
+            # the model's own slots (key ranges are disjoint 128-blocks
+            # per model, cards <= 72; pads carry key -1 -> d < 0)
+            d = kqw_ref[pl.ds(c0, sc)] - m128[None]
+            nonneg = d >= 0
+            owner = (nonneg & (d < 128)).astype(_I32)
+            below = (nonneg & (d < qs[None])).astype(_I32)
+            eq = (d == qs[None]).astype(_I32)
+            a_lo = a_lo + jnp.sum(c * below, axis=0)
+            a_tot = a_tot + jnp.sum(c * owner, axis=0)
+            a_eq = a_eq + jnp.sum(c * eq, axis=0)
+            counts_ref[pl.ds(c0, sc)] = c + eq * livec[None]
+            return (a_lo, a_tot, a_eq)
+
+        nch = (sbound_ref[i] + sc - 1) // sc
+        a_lo, a_tot, a_eq = jax.lax.fori_loop(
+            0, nch, chunk, (zi, zi, zi))
+        mask12 = jnp.int32(0xFFF)
+        s_lo = a_lo & mask12
+        b_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(12))
+        prior = a_eq & mask12
+        i_at = jax.lax.shift_right_logical(a_eq, jnp.int32(12))
+        s_tot = a_tot & mask12
+        n_i = jax.lax.shift_right_logical(a_tot, jnp.int32(12))
+
+        cum_lo = b_lo + STEP * s_lo
+        cum_hi = cum_lo + i_at + STEP * prior
+        total = n_i + STEP * s_tot
+        # card-1 models take the coder's exact no-op edge paths whatever
+        # their total (cum_lo == 0, cum_hi == total, init counts are
+        # never 0, so the conjunction identifies them exactly) — their
+        # rescales must not flag the lane (mirrors v1's _precompute
+        # no-op normalization).
+        card1 = (cum_lo == 0) & (cum_hi == total)
+        of = of | (live & ~card1 & (total + STEP
+                                    > ARITH_R.astype(_I32))).astype(_U32)
+        clo = jnp.where(live, cum_lo.astype(_U32), etl_ref[t])
+        chi = jnp.where(live, cum_hi.astype(_U32), eth_ref[t])
+        n = jnp.where(live, total.astype(_U32), etn_ref[t])
+
+        zof = jnp.zeros(shape, bool)
+        (l, u, s3i, buf, cnti, of2), (w0, w1, f0, f1) = _coder_step(
+            (l, u, s3.astype(_I32), buf, cnt.astype(_I32), zof),
+            (clo, chi, n))
+        w0_ref[t] = w0
+        w1_ref[t] = w1
+        fl_ref[t] = f0.astype(_I32) + 2 * f1.astype(_I32)
+        return (l, u, s3i.astype(_U32), buf, cnti.astype(_U32),
+                of | of2.astype(_U32))
+
+    l, u, s3, buf, cnt, of = jax.lax.fori_loop(0, bs, step, carry0)
+    for k, v in enumerate((l, u, s3, buf, cnt, of)):
+        state_ref[k] = v
+        st_ref[k] = v
+
+
+@partial(jax.jit, static_argnames=("W", "S", "L", "interpret"))
+def fused_scan_tables(streams, tables, W, S, L, interpret=False):
+    """v2 entry: code T = seg_pre + cols*L steps directly from the
+    quantize outputs — no per-step precompute streams. Jitted whole:
+    the eager pads/reshapes around the kernel each paid a full
+    dispatch round-trip on remote-attached devices (measured ~70 us
+    PER CODING STEP of apparent kernel time that was actually ~20
+    eager dispatches per call); the block->column map is built from
+    static shape arithmetic only.
+
+    streams: (mid, qs, etl, eth, etn, reset) with (T, W) layouts; mid
+    is the GLOBAL model id per step (0 or negative = explicit-triple
+    step: cluster-id segment, padding); qs the symbol index.
+    tables: (mkey, qskey, icc, col_slots) — (cols, S)x3 + (cols,) from
+    LanePlan. L: steps per column segment (must divide into _BS blocks;
+    the optional leading cluster segment is L steps too).
+
+    Returns the same (carry, ys) contract as _fused_scan[:6]."""
+    mid, qs, etl, eth, etn, reset = streams
+    kq, icc, sbc_of_mid = tables
+    T = mid.shape[0]
+    cols = kq.shape[0]
+    assert L % _BS == 0, "column segment must align to kernel blocks"
+    assert L <= 2047, "combo occurrence field is 12 bits (lane run cap)"
+    w_pad = -(-W // _LANE) * _LANE
+    t_pad = -(-T // _BS) * _BS
+    s_pad, sc = _spad(S)
+
+    def pad(a, fill):
+        a = jnp.pad(a, ((0, t_pad - T), (0, w_pad - W)),
+                    constant_values=fill)
+        return a.reshape(t_pad, w_pad // _LANE, _LANE)
+
+    ins = (pad(mid, 0), pad(qs, 0), pad(etl, 0), pad(eth, 1),
+           pad(etn, 1))
+    reset_p = jnp.pad(reset.astype(_I32), (0, t_pad - T))
+
+    # block -> column map (host-static layout: leading explicit segment
+    # of T - cols*L steps, then cols segments of L)
+    nblocks = t_pad // _BS
+    seg_pre = T - cols * L
+    blk_col = np.maximum(
+        (np.arange(nblocks) * _BS - seg_pre) // L, 0)
+    blk_col = np.minimum(blk_col, cols - 1).astype(np.int32)
+    colmap = jnp.asarray(blk_col)
+    # tight per-block slot bound: slot_base+card is monotone in the
+    # model id within a column, so the block bound is sbc(max mid) — a
+    # cheap device reduction plus an nblocks-sized gather (mid 0 =
+    # explicit steps / padding -> bound 0, table skipped entirely)
+    midp = jnp.pad(jnp.asarray(mid, _I32),
+                   ((0, t_pad - T), (0, 0)))
+    maxmid = jnp.max(midp.reshape(nblocks, -1), axis=1)
+    g_sbc = jnp.asarray(sbc_of_mid, _I32)
+    sbound = jnp.where(
+        maxmid > 0,
+        jnp.take(g_sbc, jnp.clip(maxmid, 0, g_sbc.shape[0] - 1)), 0)
+    if os.environ.get("QVZ_TPU_CODER_SBOUND0"):   # perf bisection knob
+        sbound = jnp.zeros_like(sbound)
+
+    def padtab(a, fill):
+        a = jnp.asarray(a, _I32)
+        a = jnp.pad(a, ((0, 0), (0, s_pad - a.shape[1])),
+                    constant_values=fill)
+        # lane-replicate: Mosaic block tiles must end (x8, 128), and a
+        # (sc, 1, 128) slice broadcasts against the lane grid for free
+        return jnp.broadcast_to(a[:, :, None], (cols, s_pad, _LANE))
+
+    kq_p = padtab(kq, -1)
+    icc_p = padtab(icc, 0)
+
+    w8 = w_pad // _LANE
+    blk = pl.BlockSpec((_BS, w8, _LANE), lambda i, *_: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM;
+    # the kernel DMAs the current column's slices once per column
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[blk] * 5 + [tab] * 2,
+        out_specs=(blk, blk, blk,
+                   pl.BlockSpec((6, w8, _LANE), lambda i, *_: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, w8, _LANE), _I32),
+            pltpu.VMEM((6, w8, _LANE), _U32),
+            pltpu.VMEM((2, s_pad, _LANE), _I32),
+            pltpu.VMEM((s_pad, w8, _LANE), _I32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    w0, w1, fl, st = pl.pallas_call(
+        partial(_kernel2, bs=_BS, s_pad=s_pad, sc=sc),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, w8, _LANE), _U32),
+            jax.ShapeDtypeStruct((t_pad, w8, _LANE), _U32),
+            jax.ShapeDtypeStruct((t_pad, w8, _LANE), _I32),
+            jax.ShapeDtypeStruct((6, w8, _LANE), _U32),
+        ),
+        interpret=interpret,
+    )(reset_p, sbound, colmap, *ins, kq_p, icc_p)
+
+    def unpad_t(a):
+        return a.reshape(t_pad, w_pad)[:T, :W]
+
+    w0, w1, fl = unpad_t(w0), unpad_t(w1), unpad_t(fl)
+    stf = st.reshape(6, w_pad)[:, :W]
+    carry = (stf[0], stf[1], stf[2].astype(_I32), stf[3],
+             stf[4].astype(_I32), stf[5] != 0)
+    return carry, (w0, w1, (fl & 1) != 0, (fl & 2) != 0)
 
 
 @partial(jax.jit, static_argnames=("W", "S", "max_run", "interpret"))

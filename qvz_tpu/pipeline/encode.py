@@ -156,8 +156,11 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
         # cost ~zero, so lanes are nearly free; floor of 256 lines per
         # lane bounds padding + per-lane flush overhead.
         if use_jax and mesh is None and _device_coder_enabled():
+            # lane-run cap 2047 (Mosaic combo-table occurrence field):
+            # lift the lane count for big inputs instead of shrinking
+            # runs below the priming-efficient range
             shards = int(os.environ.get("QVZ_TPU_DEVICE_LANES", "0")) or \
-                max(16, min(1024, n // 256))
+                max(16, min(8192, max(n // 256, -(-n // 1536))))
         else:
             shards = os.cpu_count() or 1
     shards = max(1, min(shards, n))

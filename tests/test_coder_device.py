@@ -157,3 +157,21 @@ def test_device_coder_decodes():
         del os.environ["QVZ_TPU_DEVICE_MIN_BYTES"]
     out = dec_mod.decode(dev.compressed)
     assert np.array_equal(out[:, :20], dev.reconstructed + 33)
+
+
+def test_device_coder_mosaic_interpret_byte_equal():
+    """The v2 Mosaic kernel (in-kernel table replay, coder_pallas.
+    _kernel2) through the Pallas interpreter: container byte-identical
+    to the host coder, including a cluster-id segment. The compiled
+    on-chip run of the same path is gated in test_tpu_onchip."""
+    data = _mkdata(3000, 20, seed=3)
+    cfg = dict(shards=4, n_clusters=2)
+    host = _encode(data, use_jax=False, **cfg)
+    os.environ["QVZ_TPU_DEVICE_MIN_BYTES"] = "0"
+    os.environ["QVZ_TPU_CODER_PALLAS"] = "interpret"
+    try:
+        dev = _encode(data, use_jax=True, **cfg)
+    finally:
+        del os.environ["QVZ_TPU_DEVICE_MIN_BYTES"]
+        del os.environ["QVZ_TPU_CODER_PALLAS"]
+    assert dev.compressed == host.compressed

@@ -139,7 +139,7 @@ from qvz_tpu.ops.well import WellState
 from qvz_tpu.pipeline import encode as enc
 
 rng = np.random.default_rng(13)
-n, cols = 66000, 40
+n, cols = 64000, 40
 start = rng.integers(20, 45, size=(n, 1))
 steps = rng.integers(-3, 4, size=(n, cols - 1))
 data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
