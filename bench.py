@@ -275,12 +275,39 @@ def main() -> None:
                 "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
                 "print('coder_fused_ms', best*1000)\n"
-                "from qvz_tpu.ops.coder_pallas import fused_scan_pallas\n"
-                "c,_=fused_scan_pallas(xs,W,S); fence(c[0])\n"
+                "from qvz_tpu.ops.coder_pallas import fused_scan_tables\n"
+                "L2=512; cols=76\n"   # L must align to kernel blocks
+                "npc,card=5,4\n"
+                "Sv=npc*card\n"
+                "nm=cols*npc+1\n"
+                "mkey=np.full((cols,Sv),-1,np.int32)\n"
+                "qsk=np.zeros((cols,Sv),np.int32)\n"
+                "sb=np.zeros(nm,np.int32)\n"
+                "for c_ in range(cols):\n"
+                "    for j in range(npc):\n"
+                "        m=1+c_*npc+j; sb[m]=j*card\n"
+                "        mkey[c_,j*card:(j+1)*card]=m\n"
+                "        qsk[c_,j*card:(j+1)*card]=np.arange(card)\n"
+                "icc=np.ones((cols,Sv),np.int32)\n"
+                "kq=np.where(mkey>=0,mkey.astype(np.int64)*128+qsk,-1)"
+                ".astype(np.int32)\n"
+                "g=sb+4\n"
+                "T2=cols*L2\n"
+                "colx=np.repeat(np.arange(cols),L2)\n"
+                "mloc=rng.integers(0,npc,(T2,W)).astype(np.int32)\n"
+                "mid=(1+colx[:,None]*npc+mloc).astype(np.int32)\n"
+                "qsv=rng.integers(0,card,(T2,W)).astype(np.int32)\n"
+                "st=(jnp.asarray(mid),jnp.asarray(qsv),\n"
+                "    jnp.zeros((T2,W),jnp.uint32),"
+                "jnp.ones((T2,W),jnp.uint32),\n"
+                "    jnp.ones((T2,W),jnp.uint32),"
+                "jnp.asarray((np.arange(T2)%L2)==0))\n"
+                "tb=(kq,icc,g)\n"
+                "c,_=fused_scan_tables(st,tb,W,Sv,L2); fence(c[0])\n"
                 "best=1e9\n"
                 "for _ in range(3):\n"
                 "    t0=time.perf_counter()\n"
-                "    c,_=fused_scan_pallas(xs,W,S)\n"
+                "    c,_=fused_scan_tables(st,tb,W,Sv,L2)\n"
                 "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
                 "print('coder_mosaic_ms', best*1000)\n"),

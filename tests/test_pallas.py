@@ -83,20 +83,42 @@ def test_cond_hist_matches_oracle(n, cols, K):
 
 
 def test_coder_pallas_matches_fused_scan():
-    """Interpret-mode Mosaic coder == the XLA fused scan, element-exact
-    (the compiled-on-chip equivalence is gated in test_tpu_onchip)."""
+    """Interpret-mode Mosaic coder (v2, in-kernel table replay) ==
+    the XLA fused scan fed the equivalent precomputed streams,
+    element-exact (compiled on-chip equivalence is gated in
+    test_tpu_onchip)."""
     from qvz_tpu.ops.coder_device import _fused_scan
-    from qvz_tpu.ops.coder_pallas import fused_scan_pallas
+    from qvz_tpu.ops.coder_pallas import fused_scan_tables
 
     rng = np.random.default_rng(3)
-    T, W, S, L = 600, 40, 37, 200
-    slot = rng.integers(-1, S, size=(T, W)).astype(np.int32)
-    sb = np.clip(slot - rng.integers(0, 4, (T, W)), 0, S - 1)
-    sbc = np.clip(slot + rng.integers(1, 6, (T, W)),
-                  sb + 1, S).astype(np.int32)
-    blo = rng.integers(0, 3, (T, W)).astype(np.int32)
-    init_at = rng.integers(1, 3, (T, W)).astype(np.int32)
-    ninit = (blo + init_at + rng.integers(0, 5, (T, W))).astype(np.int32)
+    cols, W, L = 3, 40, 64
+    n_per_col, card = 5, 4
+    S = n_per_col * card
+    T = cols * L
+    n_models = cols * n_per_col + 1
+    mkey = np.full((cols, S), -1, np.int32)
+    qskey = np.zeros((cols, S), np.int32)
+    slot_base = np.zeros(n_models, np.int32)
+    cards = np.full(n_models, card, np.int32)
+    for c in range(cols):
+        pos = 0
+        for j in range(n_per_col):
+            m = 1 + c * n_per_col + j
+            slot_base[m] = pos
+            mkey[c, pos:pos + card] = m
+            qskey[c, pos:pos + card] = np.arange(card)
+            pos += card
+    icc = rng.integers(1, 4, (cols, S)).astype(np.int32)
+    kq = np.where(mkey >= 0, mkey.astype(np.int64) * 128 + qskey,
+                  -1).astype(np.int32)
+    sbc_of_mid = slot_base + cards
+
+    colix = np.repeat(np.arange(cols), L)
+    mloc = rng.integers(0, n_per_col, (T, W)).astype(np.int32)
+    mid = (1 + colix[:, None] * n_per_col + mloc).astype(np.int32)
+    qs = rng.integers(0, card, (T, W)).astype(np.int32)
+    # sprinkle explicit-triple steps (cluster-id style)
+    mid[:, ::5] = 0
     etl = np.zeros((T, W), np.uint32)
     eth = np.ones((T, W), np.uint32)
     etn = np.full((T, W), 2, np.uint32)
@@ -104,11 +126,26 @@ def test_coder_pallas_matches_fused_scan():
     etn[:, ::3] = 3
     eth[:, ::3] = 2
     reset = (np.arange(T) % L) == 0
+    streams = tuple(jnp.asarray(a) for a in
+                    (mid, qs, etl, eth, etn, reset))
+    carry_p, ys_p = fused_scan_tables(
+        streams, (kq, icc, sbc_of_mid), W, S, L, interpret=True)
+
+    # equivalent precomputed streams for the XLA scan
+    slot = np.where(mid > 0, slot_base[mid] + qs, -1).astype(np.int32)
+    sbv = slot_base[mid]
+    sbcv = sbc_of_mid[mid]
+    ci = np.concatenate(
+        [np.zeros((cols, 1), np.int64), icc.cumsum(1)], axis=1)
+    blo = (ci[colix[:, None], sbv + qs]
+           - ci[colix[:, None], sbv]).astype(np.int32)
+    ia = icc[colix[:, None], np.minimum(sbv + qs, S - 1)]
+    ni = (ci[colix[:, None], sbcv] - ci[colix[:, None], sbv])
     xs = tuple(jnp.asarray(a) for a in
-               (slot, sb.astype(np.int32), sbc, blo, init_at, ninit,
+               (slot, sbv.astype(np.int32), sbcv.astype(np.int32),
+                blo, ia.astype(np.int32), ni.astype(np.int32),
                 etl, eth, etn, reset))
     carry_ref, ys_ref = _fused_scan(xs, W, S)
-    carry_p, ys_p = fused_scan_pallas(xs, W, S, interpret=True)
     for a, b in zip(carry_ref[:6], carry_p):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(ys_ref, ys_p):
