@@ -627,6 +627,126 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
         xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn,
               reset)
         carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S, unroll=unroll)
+    return _finish_lanes(carry, (w0, w1, f0, f1), W_real, timings,
+                         t_seg)
+
+
+@partial(jax.jit, static_argnames=("cols", "W", "L", "Wb", "Lb", "base",
+                                   "padn", "with_ct"))
+def _build_streams(md, qd, ct, cols, W, L, Wb, Lb, base, padn, with_ct):
+    """The six kernel streams straight from the (cols, N) quantize
+    outputs, in ONE jitted computation — the eager slice/pad/transpose
+    chain cost ~15 dispatch round-trips per encode on remote-attached
+    backends. ct: (Wb, Lb, 3) u32 cluster triples or a dummy when
+    with_ct is False."""
+    def lanes(x):
+        r = x.astype(_I32)[:, base:]
+        if padn:
+            r = jnp.pad(r, ((0, 0), (0, padn)))
+        r = r.reshape(cols, W, L)
+        if Wb != W or Lb != L:
+            r = jnp.pad(r, ((0, 0), (0, Wb - W), (0, Lb - L)))
+        return jnp.swapaxes(r, 1, 2).reshape(cols * Lb, Wb)
+
+    mid_s = lanes(md)
+    qs_s = lanes(qd)
+    csteps = cols * Lb
+    etl = jnp.zeros((csteps, Wb), _U32)
+    eth = jnp.ones((csteps, Wb), _U32)
+    etn = jnp.ones((csteps, Wb), _U32)
+    reset = (jnp.arange(csteps, dtype=_I32) % Lb) == 0
+    if with_ct:
+        zi = jnp.zeros((Lb, Wb), _I32)
+        mid_s = jnp.concatenate([zi, mid_s])
+        qs_s = jnp.concatenate([zi, qs_s])
+        etl = jnp.concatenate([jnp.swapaxes(ct[..., 0], 0, 1), etl])
+        eth = jnp.concatenate([jnp.swapaxes(ct[..., 1], 0, 1), eth])
+        etn = jnp.concatenate([jnp.swapaxes(ct[..., 2], 0, 1), etn])
+        reset = jnp.concatenate([jnp.zeros(Lb, bool), reset])
+    return mid_s, qs_s, etl, eth, etn, reset
+
+
+def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
+                     cluster_triples: np.ndarray | None,
+                     timings: dict | None = None):
+    """encode_lanes from the RAW (cols, N) quantize outputs: the lane
+    slicing/padding/bucketing and stream assembly run inside one jitted
+    computation feeding the Mosaic kernel directly. Falls back to the
+    materialized encode_lanes when the kernel path is unavailable."""
+    t_seg = time.perf_counter()
+    cols = md.shape[0]
+    W = len(lane_counts)
+    L = int(lane_counts[0])
+    Lb = _bucket(L)
+    Wb = -(-W // 8) * 8
+    S = plan.S
+
+    from qvz_tpu.ops import coder_pallas
+    pallas_flag = os.environ.get("QVZ_TPU_CODER_PALLAS", "1")
+    use_pallas = (pallas_flag != "0"
+                  and (jax.default_backend() != "cpu"
+                       or pallas_flag == "interpret")
+                  and Lb <= 2047
+                  and coder_pallas.lane_group(Wb, S) > 0)
+    if not use_pallas:
+        def lanes_of(x):
+            r = x[:, base:]
+            padn = W * L - r.shape[1]
+            if padn:
+                r = jnp.pad(r, ((0, 0), (0, padn)))
+            return r.reshape(cols, W, L)
+
+        valid = np.zeros((W, L), dtype=bool)
+        for w in range(W):
+            valid[w, : int(lane_counts[w])] = True
+        return encode_lanes(plan, lanes_of(md), lanes_of(qd), valid,
+                            cluster_triples, timings=timings)
+
+    padn = W * L - (int(np.sum(lane_counts)))
+    with_ct = cluster_triples is not None
+    if with_ct:
+        ct = np.zeros((Wb, Lb, 3), dtype=np.uint32)
+        ct[:, :, 1] = 1
+        ct[:, :, 2] = 1
+        ct[:W, :L] = cluster_triples
+        ct = jnp.asarray(ct)
+    else:
+        ct = jnp.zeros((1, 1, 3), jnp.uint32)
+    streams = _build_streams(md, qd, ct, cols, W, L, Wb, Lb, base,
+                             padn, with_ct)
+    if timings is not None:
+        np.asarray(streams[0].reshape(-1)[:1])   # readback fence
+        timings["precompute"] = time.perf_counter() - t_seg
+        t_seg = time.perf_counter()
+
+    tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
+            plan.sbc_of_mid)
+    interp = pallas_flag == "interpret"
+    wg = coder_pallas.lane_group(Wb, S)
+    if wg >= Wb:
+        carry, ys = coder_pallas.fused_scan_tables(
+            streams, tabs, Wb, S, Lb, interpret=interp)
+    else:
+        mid_s, qs_s, etl, eth, etn, reset = streams
+        parts = []
+        for g0 in range(0, Wb, wg):
+            g1 = min(Wb, g0 + wg)
+            sg = tuple(a[:, g0:g1]
+                       for a in (mid_s, qs_s, etl, eth, etn))
+            parts.append(coder_pallas.fused_scan_tables(
+                sg + (reset,), tabs, g1 - g0, S, Lb,
+                interpret=interp))
+        carry = tuple(jnp.concatenate([p[0][k] for p in parts])
+                      for k in range(6))
+        ys = tuple(jnp.concatenate([p[1][k] for p in parts], axis=1)
+                   for k in range(4))
+    return _finish_lanes(carry, ys, W, timings, t_seg)
+
+
+def _finish_lanes(carry, ys, W_real, timings, t_seg):
+    """Shared tail: fetch carries, compact flagged words, assemble the
+    per-lane payload byte strings."""
+    w0, w1, f0, f1 = ys
     l, u, s3, buf, cnt, of = carry[:6]
     flags = np.asarray(of)
     if timings is not None:

@@ -322,17 +322,6 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
     W = len(lane_counts)
     L = int(lane_counts[0])
     base = int(offs[first])
-    padn = W * L - (int(offs[-1]) - base)
-
-    def lanes_of(x):
-        r = x[:, base:]
-        if padn:
-            r = jnp.pad(r, ((0, 0), (0, padn)))
-        return r.reshape(columns, W, L)
-
-    valid = np.zeros((W, L), dtype=bool)
-    for w in range(W):
-        valid[w, : int(lane_counts[w])] = True
 
     ctrip = None
     if n_clusters > 1:
@@ -348,8 +337,8 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
                 cluster_arr[lo:hi])
 
     tim = {} if os.environ.get("QVZ_TPU_CODER_TIMINGS") else None
-    lane_pays, flags = coder_device.encode_lanes(
-        plan, lanes_of(md), lanes_of(qd), valid, ctrip, timings=tim)
+    lane_pays, flags = coder_device.encode_lanes_raw(
+        plan, md, qd, lane_counts, base, ctrip, timings=tim)
     if tim:
         for k, v in tim.items():
             stats.phase_seconds[f"device_code/{k}"] = v
