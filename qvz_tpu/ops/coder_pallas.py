@@ -306,7 +306,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False):
     w8 = w_pad // _LANE
     blk = pl.BlockSpec((_BS, w8, _LANE), lambda i, *_: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    tab = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM;
+    tab = pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM;
     # the kernel DMAs the current column's slices once per column
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -175,3 +175,31 @@ def test_device_coder_mosaic_interpret_byte_equal():
         del os.environ["QVZ_TPU_DEVICE_MIN_BYTES"]
         del os.environ["QVZ_TPU_CODER_PALLAS"]
     assert dev.compressed == host.compressed
+
+
+def test_device_coder_lane_group_split(monkeypatch):
+    """encode_lanes_raw's wider-than-VMEM branch: when lane_group
+    returns less than the padded lane width, the kernel runs per lane
+    group and the concatenated carries/payloads must still be
+    byte-identical to the host coder. Forced here by capping
+    lane_group at one 128-lane tile (interpret mode; the uncapped
+    on-chip equivalent is the 512-lane probe in test_tpu_onchip)."""
+    from qvz_tpu.ops import coder_pallas
+
+    real_group = coder_pallas.lane_group
+
+    def capped(W, S):
+        g = real_group(W, S)
+        return min(g, 128) if g else 0
+
+    monkeypatch.setattr(coder_pallas, "lane_group", capped)
+    # 10 shards -> W=10 lanes -> Wb=16... still one 128 tile; the
+    # group split needs Wb > 128, so cap to a sub-tile instead: run
+    # with enough shards that Wb = 256 > wg = 128.
+    data = _mkdata(4096, 8, seed=11)
+    cfg = dict(shards=130, prime=False)
+    host = _encode(data, use_jax=False, **cfg)
+    monkeypatch.setenv("QVZ_TPU_DEVICE_MIN_BYTES", "0")
+    monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
+    dev = _encode(data, use_jax=True, **cfg)
+    assert dev.compressed == host.compressed
