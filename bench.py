@@ -38,6 +38,38 @@ COLS = 100
 FALLBACK_REF_ENCODE_S = 20.96
 FALLBACK_REF_DECODE_S = 4.76
 
+# Shared Mosaic-coder probe setup (synthetic 5-models/column slot
+# tables + streams at W lanes; expects `rng`, `np`, `jnp`, `W` bound).
+_MOSAIC_SETUP = (
+    "from qvz_tpu.ops.coder_pallas import fused_scan_tables\n"
+    "L2=512; cols=76\n"   # L must align to kernel blocks
+    "npc,card=5,4\n"
+    "Sv=npc*card\n"
+    "nm=cols*npc+1\n"
+    "mkey=np.full((cols,Sv),-1,np.int32)\n"
+    "qsk=np.zeros((cols,Sv),np.int32)\n"
+    "sb=np.zeros(nm,np.int32)\n"
+    "for c_ in range(cols):\n"
+    "    for j in range(npc):\n"
+    "        m=1+c_*npc+j; sb[m]=j*card\n"
+    "        mkey[c_,j*card:(j+1)*card]=m\n"
+    "        qsk[c_,j*card:(j+1)*card]=np.arange(card)\n"
+    "icc=np.ones((cols,Sv),np.int32)\n"
+    "kq=np.where(mkey>=0,mkey.astype(np.int64)*128+qsk,-1)"
+    ".astype(np.int32)\n"
+    "g=sb+4\n"
+    "T2=cols*L2\n"
+    "colx=np.repeat(np.arange(cols),L2)\n"
+    "mloc=rng.integers(0,npc,(T2,W)).astype(np.int32)\n"
+    "mid=(1+colx[:,None]*npc+mloc).astype(np.int32)\n"
+    "qsv=rng.integers(0,card,(T2,W)).astype(np.int32)\n"
+    "st=(jnp.asarray(mid),jnp.asarray(qsv),\n"
+    "    jnp.zeros((T2,W),jnp.uint32),"
+    "jnp.ones((T2,W),jnp.uint32),\n"
+    "    jnp.ones((T2,W),jnp.uint32),"
+    "jnp.asarray((np.arange(T2)%L2)==0))\n"
+    "tb=(kq,icc,g)\n")
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -274,35 +306,7 @@ def main() -> None:
                 "    c,_=_fused_scan(xs,W,S)\n"
                 "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
-                "print('coder_fused_ms', best*1000)\n"
-                "from qvz_tpu.ops.coder_pallas import fused_scan_tables\n"
-                "L2=512; cols=76\n"   # L must align to kernel blocks
-                "npc,card=5,4\n"
-                "Sv=npc*card\n"
-                "nm=cols*npc+1\n"
-                "mkey=np.full((cols,Sv),-1,np.int32)\n"
-                "qsk=np.zeros((cols,Sv),np.int32)\n"
-                "sb=np.zeros(nm,np.int32)\n"
-                "for c_ in range(cols):\n"
-                "    for j in range(npc):\n"
-                "        m=1+c_*npc+j; sb[m]=j*card\n"
-                "        mkey[c_,j*card:(j+1)*card]=m\n"
-                "        qsk[c_,j*card:(j+1)*card]=np.arange(card)\n"
-                "icc=np.ones((cols,Sv),np.int32)\n"
-                "kq=np.where(mkey>=0,mkey.astype(np.int64)*128+qsk,-1)"
-                ".astype(np.int32)\n"
-                "g=sb+4\n"
-                "T2=cols*L2\n"
-                "colx=np.repeat(np.arange(cols),L2)\n"
-                "mloc=rng.integers(0,npc,(T2,W)).astype(np.int32)\n"
-                "mid=(1+colx[:,None]*npc+mloc).astype(np.int32)\n"
-                "qsv=rng.integers(0,card,(T2,W)).astype(np.int32)\n"
-                "st=(jnp.asarray(mid),jnp.asarray(qsv),\n"
-                "    jnp.zeros((T2,W),jnp.uint32),"
-                "jnp.ones((T2,W),jnp.uint32),\n"
-                "    jnp.ones((T2,W),jnp.uint32),"
-                "jnp.asarray((np.arange(T2)%L2)==0))\n"
-                "tb=(kq,icc,g)\n"
+                "print('coder_fused_ms', best*1000)\n") + _MOSAIC_SETUP + (
                 "c,_=fused_scan_tables(st,tb,W,Sv,L2); fence(c[0])\n"
                 "best=1e9\n"
                 "for _ in range(3):\n"
@@ -311,6 +315,20 @@ def main() -> None:
                 "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
                 "print('coder_mosaic_ms', best*1000)\n"),
+            # step-batched kernel (B steps share one counts-table pass,
+            # exact intra-batch corrections) — own watchdog: compiles
+            # are serial and one stall must not cost the other datum
+            "coder_b8": prelude + (
+                "W=256\n") + _MOSAIC_SETUP + (
+                "c,_=fused_scan_tables(st,tb,W,Sv,L2,bstep=8)\n"
+                "fence(c[0])\n"
+                "best=1e9\n"
+                "for _ in range(3):\n"
+                "    t0=time.perf_counter()\n"
+                "    c,_=fused_scan_tables(st,tb,W,Sv,L2,bstep=8)\n"
+                "    fence(c[0])\n"
+                "    best=min(best,time.perf_counter()-t0)\n"
+                "print('coder_mosaic_b8_ms', best*1000)\n"),
         }
         env = dict(os.environ)
         env["PYTHONPATH"] = (str(REPO) + os.pathsep
@@ -392,6 +410,10 @@ def main() -> None:
             util["coder_mosaic"] = rl.utilization(
                 rl.coder_fused_bytes(39063, 256, 64),
                 telemetry["coder_mosaic_ms"] / 1e3, peaks)
+        if "coder_mosaic_b8_ms" in telemetry:
+            util["coder_mosaic_b8"] = rl.utilization(
+                rl.coder_fused_bytes(39063, 256, 64),
+                telemetry["coder_mosaic_b8_ms"] / 1e3, peaks)
         if util:
             telemetry["utilization"] = util
             log(f"utilization vs {peaks.name} peaks: "

@@ -563,11 +563,12 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
         tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
                 plan.sbc_of_mid)
         interp = pallas_flag == "interpret"
+        bstep = coder_pallas.batch_steps()
         wg = coder_pallas.lane_group(W, S)
         if wg >= W:
             carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_tables(
                 (mid_s, qs_s, etl, eth, etn, reset), tabs, W, S, L,
-                interpret=interp)
+                interpret=interp, bstep=bstep)
         else:
             # lanes are independent streams: wider-than-VMEM lane sets
             # run the kernel in groups with identical per-lane results
@@ -578,7 +579,7 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
                            for a in (mid_s, qs_s, etl, eth, etn))
                 parts.append(coder_pallas.fused_scan_tables(
                     sg + (reset,), tabs, g1 - g0, S, L,
-                    interpret=interp))
+                    interpret=interp, bstep=bstep))
             carry = tuple(
                 jnp.concatenate([p[0][k] for p in parts])
                 for k in range(6))
@@ -722,10 +723,11 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
     tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
             plan.sbc_of_mid)
     interp = pallas_flag == "interpret"
+    bstep = coder_pallas.batch_steps()
     wg = coder_pallas.lane_group(Wb, S)
     if wg >= Wb:
         carry, ys = coder_pallas.fused_scan_tables(
-            streams, tabs, Wb, S, Lb, interpret=interp)
+            streams, tabs, Wb, S, Lb, interpret=interp, bstep=bstep)
     else:
         mid_s, qs_s, etl, eth, etn, reset = streams
         parts = []
@@ -735,7 +737,7 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
                        for a in (mid_s, qs_s, etl, eth, etn))
             parts.append(coder_pallas.fused_scan_tables(
                 sg + (reset,), tabs, g1 - g0, S, Lb,
-                interpret=interp))
+                interpret=interp, bstep=bstep))
         carry = tuple(jnp.concatenate([p[0][k] for p in parts])
                       for k in range(6))
         ys = tuple(jnp.concatenate([p[1][k] for p in parts], axis=1)

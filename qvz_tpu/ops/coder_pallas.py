@@ -93,7 +93,7 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
              kq_ref, icc_ref,
              w0_ref, w1_ref, fl_ref, st_ref,
              counts_ref, state_ref, tabs_ref, kqw_ref, dma_sem, *, bs,
-             s_pad, sc):
+             s_pad, sc, bstep):
     """v2: NO precomputed per-step streams beyond the quantize outputs.
 
     Every model-replay quantity is derived inside the chunk loop from
@@ -163,78 +163,120 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
 
     carry0 = jax.lax.cond(i == 0, init_carry, load_carry)
 
-    def step(t, carry):
-        l, u, s3, buf, cnt, of = carry
+    # B coding steps share each pass over the counts table (the kernel
+    # is VMEM-traffic-bound on those chunk loads): all B masked sums
+    # read the PRE-batch table, then step k's sums are corrected by
+    # exact integer pair terms — one occurrence for every earlier step
+    # j<k in the batch that hit the same model with a lower/equal
+    # symbol in the same lane. Corrections land in the combo word's
+    # low 12-bit occurrence field, whose <= 2047 bound is the true
+    # occurrence count and therefore unchanged. Batches never straddle
+    # a column (B divides _BS and column segments are _BS-aligned), so
+    # the per-column table reset stays per-block.
+    B = bstep
 
-        mid = mid_ref[t]
-        qs = qs_ref[t]
-        live = mid > 0
-        livec = live.astype(_I32)
+    def batch(tb, carry):
+        t0 = tb * B
+        mids = [mid_ref[t0 + k] for k in range(B)]
+        qss = [qs_ref[t0 + k] for k in range(B)]
+        lives = [m > 0 for m in mids]
+        m128s = [m << 7 for m in mids]    # model key bases
         zi = jnp.zeros(shape, _I32)
-        m128 = mid << 7                 # model's key base
 
         def chunk(ci, acc):
-            a_lo, a_tot, a_eq = acc
             c0 = ci * sc
             c = counts_ref[pl.ds(c0, sc)]               # (sc, W8, 128)
             # d = slot key - model key base: in [0, card) exactly on
             # the model's own slots (key ranges are disjoint 128-blocks
             # per model, cards <= 72; pads carry key -1 -> d < 0)
-            d = kqw_ref[pl.ds(c0, sc)] - m128[None]
-            nonneg = d >= 0
-            owner = (nonneg & (d < 128)).astype(_I32)
-            below = (nonneg & (d < qs[None])).astype(_I32)
-            eq = (d == qs[None]).astype(_I32)
-            a_lo = a_lo + jnp.sum(c * below, axis=0)
-            a_tot = a_tot + jnp.sum(c * owner, axis=0)
-            a_eq = a_eq + jnp.sum(c * eq, axis=0)
-            counts_ref[pl.ds(c0, sc)] = c + eq * livec[None]
-            return (a_lo, a_tot, a_eq)
+            kw = kqw_ref[pl.ds(c0, sc)]
+            out = []
+            upd = None
+            for k in range(B):
+                a_lo, a_tot, a_eq = acc[3 * k: 3 * k + 3]
+                d = kw - m128s[k][None]
+                nonneg = d >= 0
+                owner = (nonneg & (d < 128)).astype(_I32)
+                below = (nonneg & (d < qss[k][None])).astype(_I32)
+                eq = (d == qss[k][None]).astype(_I32)
+                out += [a_lo + jnp.sum(c * below, axis=0),
+                        a_tot + jnp.sum(c * owner, axis=0),
+                        a_eq + jnp.sum(c * eq, axis=0)]
+                e = eq * lives[k].astype(_I32)[None]
+                upd = e if upd is None else upd + e
+            counts_ref[pl.ds(c0, sc)] = c + upd
+            return tuple(out)
 
         nch = (sbound_ref[i] + sc - 1) // sc
-        a_lo, a_tot, a_eq = jax.lax.fori_loop(
-            0, nch, chunk, (zi, zi, zi))
+        acc = jax.lax.fori_loop(0, nch, chunk, (zi,) * (3 * B))
+
+        l, u, s3, buf, cnt, of = carry
         mask12 = jnp.int32(0xFFF)
-        s_lo = a_lo & mask12
-        b_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(12))
-        prior = a_eq & mask12
-        i_at = jax.lax.shift_right_logical(a_eq, jnp.int32(12))
-        s_tot = a_tot & mask12
-        n_i = jax.lax.shift_right_logical(a_tot, jnp.int32(12))
+        for k in range(B):
+            a_lo, a_tot, a_eq = acc[3 * k: 3 * k + 3]
+            for j in range(k):
+                samem = lives[k] & (mids[j] == mids[k])
+                a_tot = a_tot + samem.astype(_I32)
+                a_lo = a_lo + (samem
+                               & (qss[j] < qss[k])).astype(_I32)
+                a_eq = a_eq + (samem
+                               & (qss[j] == qss[k])).astype(_I32)
+            live, t = lives[k], t0 + k
+            s_lo = a_lo & mask12
+            b_lo = jax.lax.shift_right_logical(a_lo, jnp.int32(12))
+            prior = a_eq & mask12
+            i_at = jax.lax.shift_right_logical(a_eq, jnp.int32(12))
+            s_tot = a_tot & mask12
+            n_i = jax.lax.shift_right_logical(a_tot, jnp.int32(12))
 
-        cum_lo = b_lo + STEP * s_lo
-        cum_hi = cum_lo + i_at + STEP * prior
-        total = n_i + STEP * s_tot
-        # card-1 models take the coder's exact no-op edge paths whatever
-        # their total (cum_lo == 0, cum_hi == total, init counts are
-        # never 0, so the conjunction identifies them exactly) — their
-        # rescales must not flag the lane (mirrors v1's _precompute
-        # no-op normalization).
-        card1 = (cum_lo == 0) & (cum_hi == total)
-        of = of | (live & ~card1 & (total + STEP
-                                    > ARITH_R.astype(_I32))).astype(_U32)
-        clo = jnp.where(live, cum_lo.astype(_U32), etl_ref[t])
-        chi = jnp.where(live, cum_hi.astype(_U32), eth_ref[t])
-        n = jnp.where(live, total.astype(_U32), etn_ref[t])
+            cum_lo = b_lo + STEP * s_lo
+            cum_hi = cum_lo + i_at + STEP * prior
+            total = n_i + STEP * s_tot
+            # card-1 models take the coder's exact no-op edge paths
+            # whatever their total (cum_lo == 0, cum_hi == total, init
+            # counts are never 0, so the conjunction identifies them
+            # exactly) — their rescales must not flag the lane (mirrors
+            # v1's _precompute no-op normalization).
+            card1 = (cum_lo == 0) & (cum_hi == total)
+            of = of | (live & ~card1
+                       & (total + STEP
+                          > ARITH_R.astype(_I32))).astype(_U32)
+            clo = jnp.where(live, cum_lo.astype(_U32), etl_ref[t])
+            chi = jnp.where(live, cum_hi.astype(_U32), eth_ref[t])
+            n = jnp.where(live, total.astype(_U32), etn_ref[t])
 
-        zof = jnp.zeros(shape, bool)
-        (l, u, s3i, buf, cnti, of2), (w0, w1, f0, f1) = _coder_step(
-            (l, u, s3.astype(_I32), buf, cnt.astype(_I32), zof),
-            (clo, chi, n))
-        w0_ref[t] = w0
-        w1_ref[t] = w1
-        fl_ref[t] = f0.astype(_I32) + 2 * f1.astype(_I32)
-        return (l, u, s3i.astype(_U32), buf, cnti.astype(_U32),
-                of | of2.astype(_U32))
+            zof = jnp.zeros(shape, bool)
+            (l, u, s3i, buf, cnti, of2), (w0, w1, f0, f1) = _coder_step(
+                (l, u, s3.astype(_I32), buf, cnt.astype(_I32), zof),
+                (clo, chi, n))
+            w0_ref[t] = w0
+            w1_ref[t] = w1
+            fl_ref[t] = f0.astype(_I32) + 2 * f1.astype(_I32)
+            s3, cnt = s3i.astype(_U32), cnti.astype(_U32)
+            of = of | of2.astype(_U32)
+        return (l, u, s3, buf, cnt, of)
 
-    l, u, s3, buf, cnt, of = jax.lax.fori_loop(0, bs, step, carry0)
+    l, u, s3, buf, cnt, of = jax.lax.fori_loop(0, bs // B, batch, carry0)
     for k, v in enumerate((l, u, s3, buf, cnt, of)):
         state_ref[k] = v
         st_ref[k] = v
 
 
-@partial(jax.jit, static_argnames=("W", "S", "L", "interpret"))
-def fused_scan_tables(streams, tables, W, S, L, interpret=False):
+def batch_steps() -> int:
+    """Coding steps sharing one counts-table pass (QVZ_TPU_CODER_BATCH).
+    Default 1 = the round-3-measured kernel; batched variants are
+    validated byte-equal in interpret mode and gated on-chip before
+    becoming a default (Mosaic lowering must be vouched for on real
+    hardware — interpret-mode green is not sufficient evidence)."""
+    b = int(os.environ.get("QVZ_TPU_CODER_BATCH", "1"))
+    if b < 1 or _BS % b:
+        raise ValueError(f"QVZ_TPU_CODER_BATCH must divide {_BS}: {b}")
+    return b
+
+
+@partial(jax.jit, static_argnames=("W", "S", "L", "interpret", "bstep"))
+def fused_scan_tables(streams, tables, W, S, L, interpret=False,
+                      bstep=1):
     """v2 entry: code T = seg_pre + cols*L steps directly from the
     quantize outputs — no per-step precompute streams. Jitted whole:
     the eager pads/reshapes around the kernel each paid a full
@@ -324,7 +366,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False):
         ],
     )
     w0, w1, fl, st = pl.pallas_call(
-        partial(_kernel2, bs=_BS, s_pad=s_pad, sc=sc),
+        partial(_kernel2, bs=_BS, s_pad=s_pad, sc=sc, bstep=bstep),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, w8, _LANE), _U32),

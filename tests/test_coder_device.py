@@ -203,3 +203,23 @@ def test_device_coder_lane_group_split(monkeypatch):
     monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
     dev = _encode(data, use_jax=True, **cfg)
     assert dev.compressed == host.compressed
+
+
+@pytest.mark.parametrize("batch", [2, 8])
+def test_device_coder_step_batching_byte_equal(batch, monkeypatch):
+    """QVZ_TPU_CODER_BATCH=B shares one counts-table pass across B
+    coding steps with exact intra-batch pair corrections; the container
+    must stay byte-identical to the host coder for any B. Data is
+    low-entropy (near-constant columns) so same-model collisions inside
+    a batch — the corrected case — are dense, plus a cluster segment."""
+    rng = np.random.default_rng(21)
+    n, cols = 4000, 12
+    data = np.clip(30 + rng.integers(-1, 2, size=(n, cols)).cumsum(1),
+                   0, 71).astype(np.uint8)
+    cfg = dict(shards=4, n_clusters=2)
+    host = _encode(data, use_jax=False, **cfg)
+    monkeypatch.setenv("QVZ_TPU_DEVICE_MIN_BYTES", "0")
+    monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
+    monkeypatch.setenv("QVZ_TPU_CODER_BATCH", str(batch))
+    dev = _encode(data, use_jax=True, **cfg)
+    assert dev.compressed == host.compressed

@@ -156,5 +156,17 @@ assert 'device_code' in dev.stats.device_seconds
 assert dev.stats.coder_fallback_lanes == 0
 print(f'device coder 32-lane parity on-chip OK '
       f'({n * cols / max(dev.stats.phase_seconds["device_code"], 1e-9) / 1e6:.1f} Msym/s coder phase, total {dt:.1f}s)')
+# step-batched kernel (QVZ_TPU_CODER_BATCH): compiled-Mosaic vouching
+# for the intra-batch correction math — interpret green is not enough
+import os
+os.environ['QVZ_TPU_CODER_BATCH'] = '8'
+t0 = time.perf_counter()
+dev8 = enc.encode(data, dist, use_jax=True, **kw)
+dt8 = time.perf_counter() - t0
+assert host.compressed == dev8.compressed, 'batched coder divergence'
+assert dev8.stats.coder_fallback_lanes == 0
+print(f'device coder batch-8 parity on-chip OK '
+      f'({n * cols / max(dev8.stats.phase_seconds["device_code"], 1e-9) / 1e6:.1f} Msym/s coder phase, total {dt8:.1f}s)')
 """)
     assert "device coder 32-lane parity on-chip OK" in out
+    assert "device coder batch-8 parity on-chip OK" in out
