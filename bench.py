@@ -490,6 +490,45 @@ def main() -> None:
                 "honest negative result; host path remains production "
                 "default on tunnel-attached chips")
 
+        # --- device DECODE leg (round 3: the decode twin — the last
+        # host-only phase now has an accelerator path). Decodes the
+        # sharded QVZ2 container via the lane-parallel scan
+        # (ops/decoder_device.py) and proves the bytes equal the host
+        # decoder's. Same tunnel caveat as the encode leg.
+        dec_leg = (
+            "import json,time,numpy as np\n"
+            "from qvz_tpu.pipeline import decode as dec_mod\n"
+            f"comp=open({str(str(our_q))!r},'rb').read()\n"
+            "res=[]\n"
+            "for i in range(2):\n"
+            "    t0=time.perf_counter()\n"
+            "    out=dec_mod.decode(comp,device=True)\n"
+            "    res.append(time.perf_counter()-t0)\n"
+            "want=dec_mod.decode(comp)\n"
+            "print(json.dumps({'td':min(res),"
+            "'exact':bool(np.array_equal(out,want))}))\n")
+        try:
+            r = subprocess.run([sys.executable, "-c", dec_leg], env=env,
+                               capture_output=True, text=True, timeout=900)
+            if r.returncode == 0 and r.stdout.strip():
+                d = json.loads(r.stdout.strip().splitlines()[-1])
+                telemetry["device_decode_s"] = round(d["td"], 2)
+                msym = N_LINES * COLS / d["td"] / 1e6
+                telemetry["device_decode_Msym_s"] = round(msym, 1)
+                log(f"ours/device-decode: {d['td']:.2f}s "
+                    f"({msym:.1f} Msym/s incl. transfers, bytes "
+                    f"{'EXACT vs host' if d['exact'] else 'MISMATCH'}; "
+                    f"vs host decode {t_dec:.2f}s: "
+                    f"{'WIN' if d['td'] < t_dec else 'LOSS — tunnel-bound'})")
+                if not d["exact"]:
+                    telemetry["device_decode_exact"] = False
+            else:
+                log(f"ours/device-decode: FAILED rc={r.returncode} "
+                    f"{r.stderr[-200:]}")
+        except subprocess.TimeoutExpired:
+            telemetry["device_decode_s"] = "stall>900"
+            log("ours/device-decode: TIMEOUT >900s (tunnel stall)")
+
         # --- byte-exact parity leg (closes the seed loophole): a DEBUG
         # reference build pins the WELL seed (src/qv_stream.c:82), so
         # the v1 container must match OUR --debug-seed encode byte for

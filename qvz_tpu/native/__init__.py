@@ -168,6 +168,10 @@ def load() -> ctypes.CDLL:
         u8p, u8p]
     lib.qvz_decode_colmajor.restype = c.c_int32
 
+    lib.qvz_decode_cluster_prologue.argtypes = [
+        c.c_void_p, u8p, c.c_uint64, c.c_uint64, u32p, u8p, u64p]
+    lib.qvz_decode_cluster_prologue.restype = c.c_int32
+
     lib.qvz_replay_model.argtypes = [
         u32p, c.c_uint32, c.c_uint32, u8p, c.c_uint64, u32p]
     lib.qvz_replay_model.restype = None

@@ -2269,6 +2269,39 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
   return 0;
 }
 
+// Cluster-segment prologue for the DEVICE lane decoder: decodes the
+// n_lines cluster ids that open a column-major shard (model 0 — the
+// one model the device replay cannot carry, since it legitimately
+// rescales at one update per line) and exports the exact coder state
+// where the device scan takes over: state_out = {l, u, t, consumed
+// bits}. Model 0 is never touched again in column-major order
+// (qvz_decode_colmajor decodes it only in this prefix), so the device
+// pass needs no model-0 counts.
+int32_t qvz_decode_cluster_prologue(void* tables, const uint8_t* payload,
+                                    uint64_t payload_len, uint64_t n_lines,
+                                    const uint32_t* init_bank,
+                                    uint8_t* cluster_out,
+                                    uint64_t* state_out) {
+  Tables* tb = static_cast<Tables*>(tables);
+  ModelBank bank;
+  bank.init(tb->model_card.data(), tb->n_models);
+  if (init_bank) bank.load(init_bank);
+  BitReader br(payload, payload_len);
+  Decoder dec(&br);
+  for (uint64_t i = 0; i < n_lines; ++i) {
+    uint32_t c = dec.step(bank, 0);
+    bank.update(0, c);
+    if (dec.bad) return -3;
+    if (c >= tb->n_clusters) return -1;
+    cluster_out[i] = static_cast<uint8_t>(c);
+  }
+  state_out[0] = dec.l;
+  state_out[1] = dec.u;
+  state_out[2] = dec.t;
+  state_out[3] = br.next * 8 - static_cast<uint64_t>(br.navail);
+  return 0;
+}
+
 // --- full decode -----------------------------------------------------------
 
 // Decodes the payload into Phred+33 text lines with trailing newlines.

@@ -103,6 +103,15 @@ int32_t qvz_decode_colmajor(void* tables, const uint8_t* payload,
                             uint8_t* cluster_out,
                             const uint8_t* draws_t_in);
 
+// Cluster-segment prologue for the device lane decoder: decodes the
+// per-shard cluster ids (model 0) and exports the coder state where
+// the device scan resumes: state_out = {l, u, t, consumed bits}.
+int32_t qvz_decode_cluster_prologue(void* tables, const uint8_t* payload,
+                                    uint64_t payload_len, uint64_t n_lines,
+                                    const uint32_t* init_bank,
+                                    uint8_t* cluster_out,
+                                    uint64_t* state_out);
+
 // Model-bank snapshot after replaying a precomputed (model, symbol)
 // stream without coding it (bank updates are interval-independent).
 // Lets the warmup shard's payload coding overlap the device lanes.

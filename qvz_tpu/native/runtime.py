@@ -492,6 +492,28 @@ def decode_colmajor(tables: Tables, payload: bytes, n_lines: int,
     return tuple(res) if len(res) > 1 else out
 
 
+def decode_cluster_prologue(tables: Tables, payload, n_lines: int,
+                            init_bank: np.ndarray | None = None):
+    """Decode the cluster-id segment opening a column-major shard and
+    return (cluster_ids u8 (n,), l, u, t, consumed_bits) — the exact
+    coder state where the device lane decoder resumes. Model 0 is never
+    touched again in column-major order, so its counts need not be
+    exported."""
+    lib = native.load()
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    cl = np.empty(max(n_lines, 1), dtype=np.uint8)
+    st = np.zeros(4, dtype=np.uint64)
+    ib = (np.ascontiguousarray(init_bank, dtype=np.uint32)
+          if init_bank is not None else None)
+    r = lib.qvz_decode_cluster_prologue(
+        tables._h, _ptr(pay, _u8p), len(pay), n_lines,
+        _ptr(ib, _u32p) if ib is not None else None,
+        _ptr(cl, _u8p), _ptr(st, _u64p))
+    if r != 0:
+        raise ValueError(f"cluster prologue failed with status {r}")
+    return cl[:n_lines], int(st[0]), int(st[1]), int(st[2]), int(st[3])
+
+
 def decode_lines(tables: Tables, payload: bytes, n_lines: int,
                  well_state_words, out: np.ndarray | None = None,
                  cluster_out: bool = False, verbose: bool = False):

@@ -53,15 +53,25 @@ def _sane_output_size(lines: int, columns: int) -> None:
 
 @_malformed_raises_valueerror
 def decode(compressed: bytes, out: np.ndarray | None = None,
-           verbose: bool = False) -> np.ndarray:
+           verbose: bool = False,
+           device: bool | None = None) -> np.ndarray:
     """Decode a container to Phred+33 text bytes (N, cols+1) w/ newlines.
 
     Accepts both the reference-compatible v1 container and the sharded
     QVZ2 container (decoded with one host thread per shard). `out` may
     be a preallocated (lines, cols+1) uint8 buffer — e.g. an np.memmap —
-    written in place."""
+    written in place.
+
+    device=True routes column-major QVZ2 shards through the lane-
+    parallel accelerator decoder (ops/decoder_device.py); lanes its
+    exactness checks flag are re-decoded on host, so output equals the
+    host decoder's bytes unconditionally. Default: the
+    QVZ_TPU_DEVICE_DECODE env knob (off)."""
+    if device is None:
+        import os
+        device = os.environ.get("QVZ_TPU_DEVICE_DECODE", "0") == "1"
     if container_v2.is_v2(compressed):
-        return _decode_v2(compressed, out)
+        return _decode_v2(compressed, out, device=device)
     cluster_count, columns, lines = container.read_header(compressed[:9])
     _sane_output_size(lines, columns)
     tables = rt.tables_from_blocks(compressed[9:], cluster_count, columns)
@@ -74,8 +84,8 @@ def decode(compressed: bytes, out: np.ndarray | None = None,
         verbose=verbose)
 
 
-def _decode_v2(compressed: bytes, out: np.ndarray | None = None
-               ) -> np.ndarray:
+def _decode_v2(compressed: bytes, out: np.ndarray | None = None,
+               device: bool = False) -> np.ndarray:
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -90,6 +100,10 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
         out = np.empty((head.lines, cols + 1), dtype=np.uint8)
     offs = np.concatenate(
         [[0], np.cumsum([s.lines for s in head.shards])]).astype(np.int64)
+
+    if (device and head.order == container_v2.ORDER_COL
+            and len(head.shards) >= 2):
+        return _decode_v2_device(compressed, head, tables, out, offs)
 
     dec_fn = (rt.decode_colmajor if head.order == container_v2.ORDER_COL
               else rt.decode_lines)
@@ -146,6 +160,97 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None
                 max_workers=min(len(head.shards),
                                 os.cpu_count() or 1)) as ex:
             list(ex.map(run, range(len(head.shards))))
+    return out
+
+
+def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
+    """Lane-parallel QVZ2 decode on the accelerator (the decode twin of
+    pipeline/encode._device_coder_encode; kernel in
+    ops/decoder_device.py).
+
+    The warmup shard (when primed) decodes on host — it derives the
+    shared prior and is the one serial stage. Every other shard becomes
+    a device lane, grouped by line count (equal-length lanes advance in
+    lockstep). Cluster-id segments (model 0, the one model that can
+    legitimately rescale) are decoded by a tiny host prologue that also
+    pins the exact coder state where each lane's scan takes over.
+    Flagged lanes (rescaling column model / tag escape) re-decode on
+    host, so the output is byte-identical to the host decoder always."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from qvz_tpu.ops.coder_device import FULL, LanePlan
+    from qvz_tpu.ops.decoder_device import DecodePlan, decode_lanes
+
+    cols = head.columns
+    shards = head.shards
+
+    def payload_of(i):
+        s = shards[i]
+        pay = compressed[s.payload_off:s.payload_off + s.payload_len]
+        if rt.xxh64(pay) != s.checksum:
+            raise ValueError(
+                f"shard {i} payload checksum mismatch (corrupt container)")
+        return bytes(pay)
+
+    first = 0
+    bank = None
+    if head.priming and len(shards) > 1:
+        s0 = shards[0]
+        well0 = np.frombuffer(s0.well_state, dtype="<u4")
+        _, bank = rt.decode_colmajor(
+            tables, payload_of(0), s0.lines, well0,
+            out=out[offs[0]:offs[1]].reshape(-1), want_bank=True)
+        first = 1
+
+    plan = LanePlan(tables, bank)
+    dplan = DecodePlan(plan, tables)
+
+    groups: dict[int, list[int]] = {}
+    for i in range(first, len(shards)):
+        groups.setdefault(shards[i].lines, []).append(i)
+
+    def prep(i):
+        s = shards[i]
+        pay = payload_of(i)
+        well = np.frombuffer(s.well_state, dtype="<u4")
+        draws_t = np.ascontiguousarray(rt.well_draws7(
+            well, s.lines * cols).reshape(s.lines, cols).T)
+        if head.cluster_count > 1:
+            cl, l0, u0, t0, bp = rt.decode_cluster_prologue(
+                tables, pay, s.lines, init_bank=bank)
+            state = (l0, u0, t0, bp)
+        else:
+            w0 = int(np.frombuffer(pay[:4].ljust(4, b"\0"),
+                                   dtype=">u4")[0])
+            cl = np.zeros(s.lines, dtype=np.uint8)
+            state = (0, int(FULL), w0 >> 10, 22)
+        return pay, draws_t, cl, state
+
+    import os as _os
+    fallback = []
+    with ThreadPoolExecutor(
+            max_workers=min(8, _os.cpu_count() or 1)) as ex:
+        for L, idxs in groups.items():
+            preps = list(ex.map(prep, idxs))
+            payloads = [p[0] for p in preps]
+            draws = np.stack([p[1] for p in preps], axis=1)  # (cols,W,L)
+            cl = np.stack([p[2] for p in preps], axis=0)
+            states = [p[3] for p in preps]
+            qv, flags = decode_lanes(dplan, payloads, draws, cl, states)
+            for w, i in enumerate(idxs):
+                if flags[w]:
+                    fallback.append(i)
+                    continue
+                dst = out[offs[i]:offs[i + 1]]
+                dst[:, :cols] = qv[w] + 33
+                dst[:, cols] = ord("\n")
+
+    for i in fallback:
+        s = shards[i]
+        well = np.frombuffer(s.well_state, dtype="<u4")
+        rt.decode_colmajor(tables, payload_of(i), s.lines, well,
+                           out=out[offs[i]:offs[i + 1]].reshape(-1),
+                           init_bank=bank)
     return out
 
 

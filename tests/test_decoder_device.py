@@ -1,0 +1,181 @@
+"""Device (lane-parallel) arithmetic DECODER: output byte-identical to
+the host decoder across configs, plus the exactness fallbacks.
+
+Decode twin of test_coder_device.py — runs on the forced-CPU XLA
+backend (conftest); the real-accelerator run is gated in
+tests/test_tpu_onchip.py."""
+
+import numpy as np
+import pytest
+
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import decode as dec_mod
+from qvz_tpu.pipeline import encode as enc_mod
+
+
+def _mkdata(n, cols, seed=7):
+    rng = np.random.default_rng(seed)
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    return np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+
+
+def _encode(data, **kw):
+    dist = make_matrix(DISTORTION_MSE)
+    return enc_mod.encode(data, dist, well_state=WellState.debug(),
+                          use_jax=False, **kw)
+
+
+CONFIGS = [
+    dict(ratio=0.5, n_clusters=1, shards=4, prime=False),
+    dict(ratio=0.2, n_clusters=1, shards=3, prime=False),
+    dict(ratio=0.8, n_clusters=1, shards=6, prime=False),
+    dict(ratio=0.5, n_clusters=3, shards=4, prime=False),
+    dict(ratio=0.9, n_clusters=2, shards=5, prime=False),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_device_decode_byte_equal(cfg):
+    """decode(device=True) must reproduce the host decoder's bytes for
+    every config (ROADMAP item 13: the last host-only phase)."""
+    data = _mkdata(4000, 24, seed=11)
+    comp = _encode(data, **cfg).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+
+
+def test_device_decode_primed():
+    """Priming engages above 2x the warmup size; lanes start from the
+    warmup shard's bank (device icc tables derived from the same
+    snapshot the host decoder loads)."""
+    data = _mkdata(24000, 12, seed=2)
+    comp = _encode(data, shards=4, prime=True).compressed
+    from qvz_tpu.format import container_v2
+    assert container_v2.parse(comp, blocks_len=None).priming
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+
+
+def test_device_decode_primed_multicluster():
+    data = _mkdata(24000, 12, seed=4)
+    comp = _encode(data, shards=4, prime=True, n_clusters=3).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+
+
+def test_device_decode_ragged_last_shard():
+    data = _mkdata(4001, 16, seed=5)  # uneven split -> two lane groups
+    comp = _encode(data, shards=5, prime=False).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+
+
+def test_device_decode_single_column():
+    data = _mkdata(3000, 1, seed=9)
+    comp = _encode(data, shards=3, prime=False).compressed
+    assert np.array_equal(dec_mod.decode(comp, device=True),
+                          dec_mod.decode(comp))
+
+
+def test_device_decode_rescale_fallback():
+    """A shard long enough to rescale a live column model must be
+    flagged and host-decoded — output still byte-identical (mirror of
+    the encode-side test_device_coder_rescale_fallback)."""
+    rng = np.random.default_rng(1)
+    n = 300_000
+    data = np.clip(30 + rng.integers(-1, 2, size=(n, 2)).cumsum(1), 0,
+                   71).astype(np.uint8)
+    comp = _encode(data, shards=2, prime=False).compressed
+    host = dec_mod.decode(comp)
+
+    from qvz_tpu.ops import decoder_device as dd
+
+    flagged = []
+    real = dd.decode_lanes
+
+    def spy(*a, **k):
+        qv, flags = real(*a, **k)
+        flagged.append(int(flags.sum()))
+        return qv, flags
+
+    dd_decode_lanes = dd.decode_lanes
+    dd.decode_lanes = spy
+    # the pipeline imports decode_lanes inside the function, so the
+    # module attribute swap is what it sees
+    try:
+        dev = dec_mod.decode(comp, device=True)
+    finally:
+        dd.decode_lanes = dd_decode_lanes
+    assert np.array_equal(dev, host)
+    assert sum(flagged) >= 1
+
+
+def test_device_decode_env_knob(monkeypatch):
+    data = _mkdata(2000, 10, seed=13)
+    comp = _encode(data, shards=3, prime=False).compressed
+    host = dec_mod.decode(comp)
+    monkeypatch.setenv("QVZ_TPU_DEVICE_DECODE", "1")
+    assert np.array_equal(dec_mod.decode(comp), host)
+
+
+def test_device_decode_v1_container_unaffected():
+    """v1 (single interleaved stream) has no shard lanes; device=True
+    must silently use the host path."""
+    data = _mkdata(1500, 10, seed=17)
+    comp = _encode(data, shards=1).compressed
+    assert np.array_equal(dec_mod.decode(comp, device=True),
+                          dec_mod.decode(comp))
+
+
+def test_mul64_20x22_exhaustive_random():
+    """The 42-bit product split must be exact over the full operand
+    envelope (a < 2^20, b <= 2^22)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qvz_tpu.ops.decoder_device import _mul64_20x22
+
+    rng = np.random.default_rng(0)
+    m = 200_000
+    a = rng.integers(0, 1 << 20, size=m).astype(np.uint32)
+    b = rng.integers(0, (1 << 22) + 1, size=m).astype(np.uint32)
+    a[:10] = (1 << 20) - 1
+    b[:10] = 1 << 22
+    hi, lo = jax.jit(_mul64_20x22)(jnp.asarray(a), jnp.asarray(b))
+    want = a.astype(np.uint64) * b.astype(np.uint64)
+    got = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo)
+    assert np.array_equal(got, want)
+
+
+def test_cluster_prologue_matches_full_decode():
+    """The prologue's cluster ids must equal the ones the full host
+    decoder recovers, and its exported coder state must be internally
+    consistent (t within [l, u])."""
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    data = _mkdata(3000, 8, seed=21)
+    comp = _encode(data, shards=2, n_clusters=3, prime=False).compressed
+    head = container_v2.parse(comp, blocks_len=None)
+    hdr = container_v2.header_size()
+    tables = rt.tables_from_blocks(comp[hdr:], head.cluster_count,
+                                   head.columns)
+    head = container_v2.parse(comp, blocks_len=tables.consumed)
+    s = head.shards[0]
+    pay = comp[s.payload_off:s.payload_off + s.payload_len]
+    well = np.frombuffer(s.well_state, dtype="<u4")
+    _, cl_full = rt.decode_colmajor(tables, pay, s.lines, well,
+                                    cluster_out=True)
+    cl, l0, u0, t0, bits = rt.decode_cluster_prologue(tables, pay,
+                                                      s.lines)
+    assert np.array_equal(cl, cl_full)
+    assert l0 <= t0 <= u0
+    assert 22 <= bits <= len(pay) * 8 + 64

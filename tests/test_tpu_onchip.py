@@ -170,3 +170,38 @@ print(f'device coder batch-8 parity on-chip OK '
 """)
     assert "device coder 32-lane parity on-chip OK" in out
     assert "device coder batch-8 parity on-chip OK" in out
+
+
+def test_device_decode_parity_on_chip():
+    """The lane-parallel arithmetic DECODER on the real chip: decoding
+    a 16-shard QVZ2 container byte-identical to the host decoder
+    (ROADMAP item 13's scan form). Validates the compiled integer
+    semantics of the decode scan (reservoir shifts, 42-bit compares,
+    exact_div) that the CPU backend cannot vouch for."""
+    out = _run_onchip("""
+import numpy as np, jax, time
+assert any(d.platform != 'cpu' for d in jax.devices()), jax.devices()
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import encode as enc
+from qvz_tpu.pipeline import decode as dec
+
+rng = np.random.default_rng(29)
+n, cols = 48000, 40
+start = rng.integers(20, 45, size=(n, 1))
+steps = rng.integers(-3, 4, size=(n, cols - 1))
+data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+               71).astype(np.uint8)
+dist = make_matrix(DISTORTION_MSE)
+comp = enc.encode(data, dist, ratio=0.5, well_state=WellState.debug(),
+                  shards=16, use_jax=False, want_recon=False).compressed
+host = dec.decode(comp)
+t0 = time.perf_counter()
+dev = dec.decode(comp, device=True)
+dt = time.perf_counter() - t0
+assert np.array_equal(dev, host), 'device decode divergence on chip'
+print(f'device decode 16-lane parity on-chip OK '
+      f'({n * cols / dt / 1e6:.1f} Msym/s incl. transfers, {dt:.1f}s)')
+""")
+    assert "device decode 16-lane parity on-chip OK" in out
