@@ -329,6 +329,35 @@ def main() -> None:
                 "    fence(c[0])\n"
                 "    best=min(best,time.perf_counter()-t0)\n"
                 "print('coder_mosaic_b8_ms', best*1000)\n"),
+            # Mosaic DECODE kernel (round 3): end-to-end lane decode of
+            # a real 32-shard container at kernel geometry (L <= 2047),
+            # exactness asserted against the host decoder in-probe
+            "decoder_mosaic": (
+                "import time,numpy as np,os\n"
+                "os.environ['QVZ_TPU_DEC_PALLAS']='1'\n"
+                "from qvz_tpu.constants import DISTORTION_MSE\n"
+                "from qvz_tpu.ops.distortion import make_matrix\n"
+                "from qvz_tpu.ops.well import WellState\n"
+                "from qvz_tpu.pipeline import encode as enc\n"
+                "from qvz_tpu.pipeline import decode as dec\n"
+                "rng=np.random.default_rng(29)\n"
+                "n,cols=64000,40\n"
+                "start=rng.integers(20,45,size=(n,1))\n"
+                "steps=rng.integers(-3,4,size=(n,cols-1))\n"
+                "data=np.clip(np.concatenate([start,steps],1)"
+                ".cumsum(1),0,71).astype(np.uint8)\n"
+                "dist=make_matrix(DISTORTION_MSE)\n"
+                "comp=enc.encode(data,dist,ratio=0.5,"
+                "well_state=WellState.debug(),shards=32,prime=False,"
+                "use_jax=False,want_recon=False).compressed\n"
+                "host=dec.decode(comp)\n"
+                "best=1e9\n"
+                "for _ in range(2):\n"
+                "    t0=time.perf_counter()\n"
+                "    dev=dec.decode(comp,device=True)\n"
+                "    best=min(best,time.perf_counter()-t0)\n"
+                "assert np.array_equal(dev,host),'mosaic decode diverged'\n"
+                "print('decoder_mosaic_Msym', n*cols/best/1e6)\n"),
         }
         env = dict(os.environ)
         env["PYTHONPATH"] = (str(REPO) + os.pathsep
@@ -353,6 +382,13 @@ def main() -> None:
                             log(f"device/{k.replace('_ms','')}: "
                                 f"{float(v):.2f} ms per 100k x 100 pass "
                                 "(steady-state, device-resident)")
+                            got = True
+                        elif line.endswith("_Msym") or "_Msym " in line:
+                            k, v = line.split()
+                            telemetry[k + "_s"] = round(float(v), 1)
+                            log(f"device/{k}: {float(v):.1f} Msym/s "
+                                "(end-to-end incl. transfers, "
+                                "byte-exact vs host)")
                             got = True
                         elif line.startswith(("h2d_MBps", "d2h_MBps")):
                             k, v = line.split()

@@ -58,6 +58,7 @@ discarded, and the bits it consumes come from the zero-fill tail.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -71,7 +72,6 @@ from qvz_tpu.ops.coder_device import (ARITH_M, ARITH_R, FULL, MSB_BIT,
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
-_FULL = jnp.asarray(FULL, jnp.uint32)
 
 
 # --------------------------------------------------------------------------
@@ -116,6 +116,28 @@ class DecodePlan:
         self.S = S
         self.n_clusters = n_cl
 
+        # Mosaic-kernel ctx tables: per (col, cl*72 + qv) the packed
+        # pair record — pta = sb_lo*2^13 + sb_hi (slot bases of the
+        # dither pair's lo/hi models; -1 at ctxmap holes), ptb =
+        # qratio*2^14 + card_lo*2^7 + card_hi. One masked-sum pass
+        # resolves the model where the host does two gathers + a
+        # compare (qvz_rt.cpp:2236-2241).
+        p64 = self.ptab.astype(np.int64)
+        valid64 = p64 >= 0
+        pc = np.where(valid64, p64, 0)
+        sb_g = plan.slot_base.astype(np.int64)
+        cd_g = plan.cards.astype(np.int64)
+        sb_lo = sb_g[1 + 2 * pc]
+        sb_hi = sb_g[2 + 2 * pc]
+        c_lo = cd_g[1 + 2 * pc]
+        c_hi = cd_g[2 + 2 * pc]
+        qr = self.qrtab.astype(np.int64)[pc]
+        self.pta = np.where(valid64, sb_lo * 8192 + sb_hi,
+                            -1).astype(np.int32)
+        self.ptb = np.where(valid64, qr * 16384 + c_lo * 128 + c_hi,
+                            0).astype(np.int32)
+        self.col_slots = plan.col_slots.astype(np.int32)
+
 
 # --------------------------------------------------------------------------
 # Exact 42-bit product comparison in u32 halves.
@@ -143,6 +165,37 @@ def _lt64(h1, l1, h2, l2):
 
 # --------------------------------------------------------------------------
 # Per-lane bit reservoir (MSB-first over big-endian payload words).
+
+
+def _e1_lu(l, u):
+    """E1* batch on (l, u): returns (k1, l', u') — the decoder consumes
+    k1 stream bits into the tag (qvz_rt.cpp Decoder::step E1 block)."""
+    diff = l ^ u
+    e1 = (diff >> _U32(MSB_SHIFT)) == 0
+    k1 = jnp.where(e1, jax.lax.clz(diff << _U32(32 - ARITH_M)),
+                   _U32(0)).astype(_I32)
+    one = jnp.ones_like(l)
+    l = _shl32(l, k1) & FULL
+    u = (_shl32(u, k1) | (_shl32(one, k1) - 1)) & FULL
+    return k1, l, u
+
+
+def _e3_lu(l, u):
+    """E3* batch on (l, u): returns (k3, msb_or, l', u'); the tag then
+    takes k3 bits and a single final MSB flip (^ msb_or)."""
+    e3 = ((l >> _U32(SMSB_SHIFT)) == 1) & ((u >> _U32(SMSB_SHIFT)) == 2)
+    lx = l << _U32(32 - SMSB_SHIFT)
+    ux = u << _U32(32 - SMSB_SHIFT)
+    lrun = jax.lax.clz(~lx | _U32(1)).astype(_I32)
+    zrun = jnp.where(ux != 0, jax.lax.clz(ux).astype(_I32), 32)
+    k3 = jnp.where(e3, 1 + jnp.minimum(lrun, zrun), 0)
+    one = jnp.ones_like(l)
+    ones_k3 = _shl32(one, k3) - 1
+    lmask = jnp.where(e3, _U32(MSB_CLEAR), FULL)
+    msb_or = jnp.where(e3, _U32(MSB_BIT), _U32(0))
+    l = _shl32(l, k3) & lmask
+    u = ((_shl32(u, k3) & lmask) | msb_or) | ones_k3
+    return k3, msb_or, l, u
 
 
 def _refill(rhi, rlo, nb, wpos, payw):
@@ -228,32 +281,16 @@ def _dec_step(carry, xs, *, ptab, qrtab, sbtab, cardtab, icc, symtab,
     of = of | (live & (n + STEP > int(ARITH_R)))
 
     # --- E1* batch: consume the shared leading bits ---
-    diff = l ^ u
-    e1 = (diff >> _U32(MSB_SHIFT)) == 0
-    k1 = jnp.where(e1, jax.lax.clz(diff << _U32(32 - ARITH_M)),
-                   _U32(0)).astype(_I32)
-    one = jnp.ones_like(l)
-    l = _shl32(l, k1) & _FULL
-    u = (_shl32(u, k1) | (_shl32(one, k1) - 1)) & _FULL
+    k1, l, u = _e1_lu(l, u)
     rhi, rlo, nb, wpos = _refill(rhi, rlo, nb, wpos, payw)
     v1, rhi, rlo, nb = _serve(rhi, rlo, nb, k1)
-    t = (_shl32(t, k1) | v1) & _FULL
+    t = (_shl32(t, k1) | v1) & FULL
 
     # --- E3* batch: straddle runs, single final MSB flip on the tag ---
-    e3 = ((l >> _U32(SMSB_SHIFT)) == 1) & ((u >> _U32(SMSB_SHIFT)) == 2)
-    lx = l << _U32(32 - SMSB_SHIFT)
-    ux = u << _U32(32 - SMSB_SHIFT)
-    lrun = jax.lax.clz(~lx | _U32(1)).astype(_I32)
-    zrun = jnp.where(ux != 0, jax.lax.clz(ux).astype(_I32), 32)
-    k3 = jnp.where(e3, 1 + jnp.minimum(lrun, zrun), 0)
-    ones_k3 = _shl32(one, k3) - 1
-    lmask = jnp.where(e3, _U32(MSB_CLEAR), _FULL)
-    msb_or = jnp.where(e3, _U32(MSB_BIT), _U32(0))
-    l = _shl32(l, k3) & lmask
-    u = ((_shl32(u, k3) & lmask) | msb_or) | ones_k3
+    k3, msb_or, l, u = _e3_lu(l, u)
     rhi, rlo, nb, wpos = _refill(rhi, rlo, nb, wpos, payw)
     v3, rhi, rlo, nb = _serve(rhi, rlo, nb, k3)
-    t = ((_shl32(t, k3) | v3) & _FULL) ^ msb_or
+    t = ((_shl32(t, k3) | v3) & FULL) ^ msb_or
 
     # --- bookkeeping: adaptive update + previous-column buffer ---
     counts = counts + jnp.where(live[:, None], eq.astype(_I32), 0)
@@ -351,6 +388,63 @@ def decode_lanes(dplan: DecodePlan, payloads, draws, cl, states,
     rlo0 = np.zeros(Wb, dtype=np.uint32)
     nb0 = (32 - off).astype(np.int32)
     wpos0 = (wpos0 + 1).astype(np.int32)
+
+    # --- Mosaic kernel path (opt-in; compiled-hardware vouching gated
+    # in test_tpu_onchip — interpret-green alone is NOT sufficient on
+    # this toolchain, so the default stays the XLA scan until the
+    # on-chip parity gate has run) ---------------------------------
+    from qvz_tpu.ops import decoder_pallas
+
+    pallas_flag = os.environ.get("QVZ_TPU_DEC_PALLAS", "0")
+    Lp = -(-L // 64) * 64
+    p_pad = max(128, -(-dplan.pta.shape[1] // 128) * 128)
+    wg = decoder_pallas.lane_group(Wb, S, -(-P // 256) * 256, Lp,
+                                   p_pad)
+    use_pallas = (pallas_flag != "0"
+                  and (jax.default_backend() != "cpu"
+                       or pallas_flag == "interpret")
+                  and L <= 2047 and S <= 8191 and wg > 0)
+    if use_pallas:
+        dpad = np.zeros((cols, Wb, Lp), dtype=np.int32)
+        dpad[:, :, :L] = draws
+        cpad = np.zeros((Wb, Lp), dtype=np.int32)
+        cpad[:, :L] = cl
+        combo = cpad[None] * 128 + dpad                # (cols, Wb, Lp)
+        combo = np.ascontiguousarray(
+            np.swapaxes(combo, 1, 2).reshape(cols * Lp, Wb))
+        zu = np.zeros(Wb, dtype=np.uint32)
+        init_state = np.stack([
+            l0, u0, t0, rhi0, zu, zu, nb0.astype(np.uint32),
+            wpos0.astype(np.uint32), zu, zu])
+        payw_t = np.ascontiguousarray(payw.T)
+        if timings is not None:
+            timings["prep"] = time.perf_counter() - t_seg
+            t_seg = time.perf_counter()
+        tabs = (dplan.pta, dplan.ptb,
+                plan.init_counts_cols.astype(np.int32), dplan.symtab)
+        interp = pallas_flag == "interpret"
+        if wg >= Wb:
+            st_out, qv_steps = decoder_pallas.decode_scan_tables(
+                combo, init_state, tabs, payw_t, dplan.col_slots,
+                Wb, S, L, Lp, cols, interpret=interp)
+        else:
+            # lanes are independent streams: wider-than-VMEM lane sets
+            # run the kernel per group with identical per-lane results
+            parts = [decoder_pallas.decode_scan_tables(
+                combo[:, g0:g0 + wg], init_state[:, g0:g0 + wg],
+                tabs, payw_t[:, g0:g0 + wg], dplan.col_slots,
+                min(wg, Wb - g0), S, L, Lp, cols, interpret=interp)
+                for g0 in range(0, Wb, wg)]
+            st_out = jnp.concatenate([p[0] for p in parts], axis=1)
+            qv_steps = jnp.concatenate([p[1] for p in parts], axis=1)
+        st_np = np.asarray(st_out)
+        flags = ((st_np[8] | st_np[9]) != 0)[:W]
+        qv = np.ascontiguousarray(np.transpose(
+            np.asarray(qv_steps).reshape(cols, Lp, Wb)[:, :L, :W],
+            (2, 1, 0))).astype(np.uint8)
+        if timings is not None:
+            timings["scan_fetch"] = time.perf_counter() - t_seg
+        return qv, flags
 
     # draws arrive (cols, Wb, L); flatten to the (csteps, Wb) stream
     draws_s = np.ascontiguousarray(

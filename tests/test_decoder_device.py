@@ -155,6 +155,77 @@ def test_mul64_20x22_exhaustive_random():
     assert np.array_equal(got, want)
 
 
+def test_mosaic_decode_interpret_byte_equal(monkeypatch):
+    """The Mosaic decode kernel (ops/decoder_pallas.py) through the
+    Pallas interpreter: output byte-identical to the host decoder,
+    including a cluster prologue with a non-trivial bit-offset takeover
+    state and a non-block-aligned line count (the pad-step path). The
+    compiled on-chip run of the same path is gated in test_tpu_onchip."""
+    from qvz_tpu.ops import decoder_pallas
+
+    calls = []
+    real = decoder_pallas.decode_scan_tables
+
+    def spy(*a, **k):
+        calls.append(a[0].shape)
+        return real(*a, **k)
+
+    monkeypatch.setattr(decoder_pallas, "decode_scan_tables", spy)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    data = _mkdata(4001, 14, seed=23)  # 5 shards -> ragged last lane
+    comp = _encode(data, shards=5, n_clusters=2, prime=False).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+    assert len(calls) >= 1, "Mosaic kernel path not engaged"
+
+
+def test_mosaic_decode_interpret_primed(monkeypatch):
+    """Primed lanes through the kernel: the init-count tables derive
+    from the warmup bank, and every lane's takeover state starts at
+    bit 22."""
+    from qvz_tpu.ops import decoder_pallas
+
+    calls = []
+    real = decoder_pallas.decode_scan_tables
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(decoder_pallas, "decode_scan_tables", spy)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    data = _mkdata(24000, 10, seed=29)
+    comp = _encode(data, shards=16, prime=True).compressed
+    from qvz_tpu.format import container_v2
+    assert container_v2.parse(comp, blocks_len=None).priming
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+    assert calls
+
+
+def test_mosaic_decode_lane_group_split(monkeypatch):
+    """decode_lanes' wider-than-VMEM branch: lane_group capped below
+    the padded width forces per-group kernel runs; concatenated
+    outputs must still match the host decoder."""
+    from qvz_tpu.ops import decoder_pallas
+
+    real_group = decoder_pallas.lane_group
+
+    def capped(W, S, PW, Lp, p_pad):
+        g = real_group(W, S, PW, Lp, p_pad)
+        return min(g, 128) if g else 0
+
+    monkeypatch.setattr(decoder_pallas, "lane_group", capped)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    data = _mkdata(4160, 6, seed=31)
+    comp = _encode(data, shards=130, prime=False).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+
+
 def test_cluster_prologue_matches_full_decode():
     """The prologue's cluster ids must equal the ones the full host
     decoder recovers, and its exported coder state must be internally

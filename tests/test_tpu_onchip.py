@@ -203,5 +203,17 @@ dt = time.perf_counter() - t0
 assert np.array_equal(dev, host), 'device decode divergence on chip'
 print(f'device decode 16-lane parity on-chip OK '
       f'({n * cols / dt / 1e6:.1f} Msym/s incl. transfers, {dt:.1f}s)')
+# compiled Mosaic decode kernel: the vouching run interpret mode
+# cannot provide (integer semantics diverged on hardware before —
+# round-2 argmin tie-break)
+import os
+os.environ['QVZ_TPU_DEC_PALLAS'] = '1'
+t0 = time.perf_counter()
+devk = dec.decode(comp, device=True)
+dtk = time.perf_counter() - t0
+assert np.array_equal(devk, host), 'Mosaic decode divergence on chip'
+print(f'mosaic decode parity on-chip OK '
+      f'({n * cols / dtk / 1e6:.1f} Msym/s incl. transfers, {dtk:.1f}s)')
 """)
     assert "device decode 16-lane parity on-chip OK" in out
+    assert "mosaic decode parity on-chip OK" in out
