@@ -194,48 +194,69 @@ def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
 
     first = 0
     bank = None
+    warmup = None
     if head.priming and len(shards) > 1:
-        s0 = shards[0]
-        well0 = np.frombuffer(s0.well_state, dtype="<u4")
-        _, bank = rt.decode_colmajor(
-            tables, payload_of(0), s0.lines, well0,
-            out=out[offs[0]:offs[1]].reshape(-1), want_bank=True)
-        first = 1
+        # the warmup decode is the one serial stage; overlap it with
+        # the lane prep that does not need its bank (checksums + WELL
+        # draw generation — the cluster prologue DOES need the bank
+        # and runs after the join)
+        from threading import Thread
 
-    plan = LanePlan(tables, bank)
-    dplan = DecodePlan(plan, tables)
+        bank_box: dict = {}
+
+        def _warmup():
+            s0 = shards[0]
+            well0 = np.frombuffer(s0.well_state, dtype="<u4")
+            _, bank_box["bank"] = rt.decode_colmajor(
+                tables, payload_of(0), s0.lines, well0,
+                out=out[offs[0]:offs[1]].reshape(-1), want_bank=True)
+
+        warmup = Thread(target=_warmup)
+        warmup.start()
+        first = 1
 
     groups: dict[int, list[int]] = {}
     for i in range(first, len(shards)):
         groups.setdefault(shards[i].lines, []).append(i)
 
-    def prep(i):
+    def prep_a(i):
         s = shards[i]
         pay = payload_of(i)
         well = np.frombuffer(s.well_state, dtype="<u4")
         draws_t = np.ascontiguousarray(rt.well_draws7(
             well, s.lines * cols).reshape(s.lines, cols).T)
+        return pay, draws_t
+
+    def prep_b(args):
+        i, pay = args
+        s = shards[i]
         if head.cluster_count > 1:
             cl, l0, u0, t0, bp = rt.decode_cluster_prologue(
                 tables, pay, s.lines, init_bank=bank)
-            state = (l0, u0, t0, bp)
-        else:
-            w0 = int(np.frombuffer(pay[:4].ljust(4, b"\0"),
-                                   dtype=">u4")[0])
-            cl = np.zeros(s.lines, dtype=np.uint8)
-            state = (0, int(FULL), w0 >> 10, 22)
-        return pay, draws_t, cl, state
+            return cl, (l0, u0, t0, bp)
+        w0 = int(np.frombuffer(pay[:4].ljust(4, b"\0"),
+                               dtype=">u4")[0])
+        return (np.zeros(s.lines, dtype=np.uint8),
+                (0, int(FULL), w0 >> 10, 22))
 
     import os as _os
     fallback = []
     with ThreadPoolExecutor(
             max_workers=min(8, _os.cpu_count() or 1)) as ex:
+        pre = {L: list(ex.map(prep_a, idxs))
+               for L, idxs in groups.items()}
+        if warmup is not None:
+            warmup.join()
+            bank = bank_box["bank"]
+        plan = LanePlan(tables, bank)
+        dplan = DecodePlan(plan, tables)
         for L, idxs in groups.items():
-            preps = list(ex.map(prep, idxs))
-            payloads = [p[0] for p in preps]
-            draws = np.stack([p[1] for p in preps], axis=1)  # (cols,W,L)
-            cl = np.stack([p[2] for p in preps], axis=0)
-            states = [p[3] for p in preps]
+            pa = pre[L]
+            payloads = [p[0] for p in pa]
+            draws = np.stack([p[1] for p in pa], axis=1)  # (cols,W,L)
+            pb = list(ex.map(prep_b, zip(idxs, payloads)))
+            cl = np.stack([p[0] for p in pb], axis=0)
+            states = [p[1] for p in pb]
             qv, flags = decode_lanes(dplan, payloads, draws, cl, states)
             for w, i in enumerate(idxs):
                 if flags[w]:
