@@ -527,21 +527,35 @@ def main() -> None:
                 "default on tunnel-attached chips")
 
         # --- device DECODE leg (round 3: the decode twin — the last
-        # host-only phase now has an accelerator path). Decodes the
-        # sharded QVZ2 container via the lane-parallel scan
-        # (ops/decoder_device.py) and proves the bytes equal the host
-        # decoder's. Same tunnel caveat as the encode leg.
+        # host-only phase now has an accelerator path). Re-encodes the
+        # corpus at device-lane geometry (a device-coder deployment
+        # produces many-lane containers; the Mosaic kernel caps lane
+        # runs at 2047 lines), decodes it via the lane-parallel path
+        # and proves the bytes equal the host decoder's. Same tunnel
+        # caveat as the encode leg.
         dec_leg = (
-            "import json,time,numpy as np\n"
+            "import json,os,time,numpy as np\n"
+            "os.environ['QVZ_TPU_DEC_PALLAS']='1'\n"
+            "from qvz_tpu.constants import DISTORTION_MSE\n"
+            "from qvz_tpu.ops.distortion import make_matrix\n"
+            "from qvz_tpu.ops.well import WellState\n"
+            "from qvz_tpu.pipeline import encode as enc_mod\n"
             "from qvz_tpu.pipeline import decode as dec_mod\n"
-            f"comp=open({str(str(our_q))!r},'rb').read()\n"
+            "from qvz_tpu.spec.pipeline import load_quality_file\n"
+            f"data=load_quality_file({str(str(inp))!r})\n"
+            "dist=make_matrix(DISTORTION_MSE)\n"
+            "lanes=max(16,min(8192,max(len(data)//256,"
+            "-(-len(data)//1536))))\n"
+            "comp=enc_mod.encode(data,dist,n_clusters=1,ratio=0.5,"
+            "well_state=WellState.debug(),shards=lanes,use_jax=False,"
+            "want_recon=False).compressed\n"
             "res=[]\n"
             "for i in range(2):\n"
             "    t0=time.perf_counter()\n"
             "    out=dec_mod.decode(comp,device=True)\n"
             "    res.append(time.perf_counter()-t0)\n"
             "want=dec_mod.decode(comp)\n"
-            "print(json.dumps({'td':min(res),"
+            "print(json.dumps({'td':min(res),'lanes':lanes,"
             "'exact':bool(np.array_equal(out,want))}))\n")
         try:
             r = subprocess.run([sys.executable, "-c", dec_leg], env=env,
