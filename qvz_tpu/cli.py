@@ -51,7 +51,8 @@ def usage(name: str) -> None:
     print("   --debug-seed : Use the fixed WELL seed (reproducible bitstreams)")
     print("   --well-state F : Load a raw 128-byte WELL state from F")
     print("   --no-jax     : Force the host-only pipeline (no accelerator)")
-    print("   --jax        : Force the device pipeline (default: auto by input size)")
+    print("   --jax        : Force the device pipeline (default: auto by input size);")
+    print("                  with -x, decode QVZ2 shards in device lanes")
     print("   --reuse-books F : Reuse the codebooks of a previous compressed file F")
     print("                  (skips the statistics + design phases)")
     print("   --profile D  : Write phase-timing JSON (and, with QVZ_TPU_JAX_TRACE=1,")
@@ -237,8 +238,14 @@ def _run(opts, extract, input_name, output_name) -> int:
                 return 0
             # v1 containers are a single sequential stream: fall through
         from qvz_tpu.pipeline import decode as dec_mod
+        # --jax routes column-major QVZ2 shards through the lane-
+        # parallel device decoder (ops/decoder_device.py); --no-jax
+        # forces host threads; default defers to QVZ_TPU_DEVICE_DECODE
+        dev = (True if opts["use_jax"] is True
+               else False if opts["use_jax"] is False else None)
         n = dec_mod.decode_file_to_file(input_name, output_name,
-                                        verbose=opts["verbose"])
+                                        verbose=opts["verbose"],
+                                        device=dev)
         if opts["verbose"]:
             print(f"Decoded {n} lines in {time.perf_counter() - t0:.4f} "
                   f"seconds.")

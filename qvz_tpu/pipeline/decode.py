@@ -276,7 +276,8 @@ def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
 
 
 @_malformed_raises_valueerror
-def decode_to_file(compressed, path: str, verbose: bool = False) -> int:
+def decode_to_file(compressed, path: str, verbose: bool = False,
+                   device: bool | None = None) -> int:
     """Decode straight into a memory-mapped output file: shard threads
     write their line ranges in place and the OS flushes pages lazily —
     no second full-size copy at GB scale. `compressed` may be bytes or
@@ -293,13 +294,14 @@ def decode_to_file(compressed, path: str, verbose: bool = False) -> int:
     _sane_output_size(lines, cols)
     mm = np.memmap(path, dtype=np.uint8, mode="w+",
                    shape=(lines, cols + 1))
-    decode(compressed, out=mm, verbose=verbose)
+    decode(compressed, out=mm, verbose=verbose, device=device)
     mm.flush()
     return lines
 
 
 def decode_file_to_file(in_path: str, out_path: str,
-                        verbose: bool = False) -> int:
+                        verbose: bool = False,
+                        device: bool | None = None) -> int:
     """Decode a container FILE without reading it into memory: the
     container is memory-mapped and shard payloads are sliced zero-copy
     (a whole-genome-scale QVZ2 container is tens of GB — reading it
@@ -309,4 +311,5 @@ def decode_file_to_file(in_path: str, out_path: str,
     if os.path.getsize(in_path) == 0:
         raise ValueError("empty container")
     mm_in = np.memmap(in_path, dtype=np.uint8, mode="r")
-    return decode_to_file(mm_in, out_path, verbose=verbose)
+    return decode_to_file(mm_in, out_path, verbose=verbose,
+                          device=device)

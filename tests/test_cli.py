@@ -176,3 +176,18 @@ def test_cli_streaming_flag(tmp_path):
     dec = tmp_path / "s.dec"
     assert cli.main(["qvz", "-x", str(b), str(dec)]) == 0
     assert dec.stat().st_size == out.nbytes
+
+
+def test_decode_jax_flag_matches_host(qfile, tmp_path):
+    """-x --jax routes QVZ2 shards through the device lane decoder;
+    output must equal the host decode byte-for-byte."""
+    comp = tmp_path / "o.q"
+    rc = cli.main(["qvz", "-f", "0.5", "--debug-seed", "--no-jax",
+                   "--shards", "3", str(qfile), str(comp)])
+    assert rc == 0
+    host = tmp_path / "o.host"
+    dev = tmp_path / "o.dev"
+    assert cli.main(["qvz", "-x", "--no-jax", str(comp),
+                     str(host)]) == 0
+    assert cli.main(["qvz", "-x", "--jax", str(comp), str(dev)]) == 0
+    assert host.read_bytes() == dev.read_bytes()
