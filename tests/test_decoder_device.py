@@ -250,3 +250,44 @@ def test_cluster_prologue_matches_full_decode():
     assert np.array_equal(cl, cl_full)
     assert l0 <= t0 <= u0
     assert 22 <= bits <= len(pay) * 8 + 64
+
+
+def _synth_skewed(n, cols, seed, kind):
+    """Pathological data shapes (mirrors test_reference_live's fuzz):
+    constant data makes card-1 no-op models dominate, bimodal data
+    makes dither choices split hard, saturated/uniform stress the
+    alphabet edges."""
+    rng = np.random.default_rng(seed)
+    if kind == "constant":
+        q = np.full((n, cols), 38, dtype=np.uint8)
+        q[n // 3] = 2
+    elif kind == "bimodal":
+        lo = rng.integers(0, 6, size=(n, cols))
+        hi = rng.integers(60, 72, size=(n, cols))
+        pick = rng.random((n, 1)) < 0.5
+        q = np.where(pick, lo, hi).astype(np.uint8)
+    elif kind == "saturated":
+        q = np.clip(rng.integers(66, 80, size=(n, cols)), 0,
+                    71).astype(np.uint8)
+    else:
+        q = rng.integers(0, 72, size=(n, cols)).astype(np.uint8)
+    return q
+
+
+@pytest.mark.parametrize("kind,cfg", [
+    ("constant", dict(shards=3, n_clusters=1)),
+    ("bimodal", dict(shards=4, n_clusters=2)),
+    ("saturated", dict(shards=3, n_clusters=1, ratio=0.9)),
+    ("uniform", dict(shards=4, n_clusters=3, ratio=0.3)),
+])
+def test_device_decode_pathological_shapes(kind, cfg, monkeypatch):
+    """Both device decode paths (XLA scan and Mosaic-interpret kernel)
+    must reproduce the host decoder on pathological data shapes."""
+    data = _synth_skewed(2400, 12, 47, kind)
+    comp = _encode(data, prime=False, **cfg).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    devk = dec_mod.decode(comp, device=True)
+    assert np.array_equal(devk, host)
