@@ -222,6 +222,19 @@ def _serve(rhi, rlo, nb, k):
     return v, rhi, rlo, nb - k
 
 
+def _overrun(wpos_words, payloads) -> np.ndarray:
+    """Per-lane overrun fail-fast, mirroring the host BitReader's
+    next > len + 64 heuristic (qvz_rt.cpp:248-253): a corrupt container
+    claiming more symbols than its payload carries reads deep into the
+    zero-fill tail without ever tripping the tag-range check — flag it
+    so the host re-decode raises the documented ValueError instead of
+    the device path silently returning garbage. Valid streams keep
+    wpos*4 within ~16 bytes of the payload end (<= 96 buffered bits +
+    the final-drain slack), far inside the 64-byte margin."""
+    paylens = np.asarray([len(p) for p in payloads], dtype=np.int64)
+    return wpos_words * 4 > paylens + 64
+
+
 # --------------------------------------------------------------------------
 # The decode scan.
 
@@ -439,6 +452,8 @@ def decode_lanes(dplan: DecodePlan, payloads, draws, cl, states,
             qv_steps = jnp.concatenate([p[1] for p in parts], axis=1)
         st_np = np.asarray(st_out)
         flags = ((st_np[8] | st_np[9]) != 0)[:W]
+        flags = flags | _overrun(st_np[7][:W].astype(np.int64),
+                                 payloads)
         qv = np.ascontiguousarray(np.transpose(
             np.asarray(qv_steps).reshape(cols, Lp, Wb)[:, :L, :W],
             (2, 1, 0))).astype(np.uint8)
@@ -466,6 +481,8 @@ def decode_lanes(dplan: DecodePlan, payloads, draws, cl, states,
         jnp.asarray(wpos0), Wb, S, L, cols)
     bad, of = carry[9], carry[10]
     flags = np.asarray(bad | of)[:W]
+    flags = flags | _overrun(
+        np.asarray(carry[6])[:W].astype(np.int64), payloads)
     # (csteps, Wb) -> (cols, L, W) -> (W, L, cols)
     qv = np.ascontiguousarray(
         np.transpose(np.asarray(qv_s).reshape(cols, L, Wb)[:, :, :W],

@@ -138,7 +138,7 @@ def lane_group(W: int, S: int, PW: int, Lp: int, p_pad: int) -> int:
     while w >= _LANE:
         if fits(w, S, PW, Lp, p_pad):
             return w
-        w //= 2
+        w -= _LANE          # every 128-multiple, not just halvings
     return 0
 
 

@@ -136,8 +136,15 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None,
         ready = Event()
 
         def warmup():
-            _, bank_box["bank"] = run(0, want_bank=True)
-            ready.set()
+            # ready is set even on failure — otherwise every worker
+            # blocks forever in ready.wait() and decode() hangs instead
+            # of surfacing the (e.g. checksum) error
+            try:
+                _, bank_box["bank"] = run(0, want_bank=True)
+            except BaseException as e:
+                bank_box["err"] = e
+            finally:
+                ready.set()
 
         wt = Thread(target=warmup)
         wt.start()
@@ -148,6 +155,8 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None,
             draws_t = np.ascontiguousarray(rt.well_draws7(
                 well, s.lines * cols).reshape(s.lines, cols).T)
             ready.wait()
+            if "err" in bank_box:
+                return None  # warmup failed; re-raised below
             return run(i, init_bank=bank_box["bank"], draws_t=draws_t)
 
         with ThreadPoolExecutor(
@@ -155,6 +164,8 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None,
                                 os.cpu_count() or 1)) as ex:
             list(ex.map(prep_and_decode, range(1, len(head.shards))))
         wt.join()
+        if "err" in bank_box:
+            raise bank_box["err"]
     else:
         with ThreadPoolExecutor(
                 max_workers=min(len(head.shards),
@@ -195,6 +206,7 @@ def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
     first = 0
     bank = None
     warmup = None
+    bank_box: dict = {}
     if head.priming and len(shards) > 1:
         # the warmup decode is the one serial stage; overlap it with
         # the lane prep that does not need its bank (checksums + WELL
@@ -202,14 +214,16 @@ def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
         # and runs after the join)
         from threading import Thread
 
-        bank_box: dict = {}
-
         def _warmup():
-            s0 = shards[0]
-            well0 = np.frombuffer(s0.well_state, dtype="<u4")
-            _, bank_box["bank"] = rt.decode_colmajor(
-                tables, payload_of(0), s0.lines, well0,
-                out=out[offs[0]:offs[1]].reshape(-1), want_bank=True)
+            try:
+                s0 = shards[0]
+                well0 = np.frombuffer(s0.well_state, dtype="<u4")
+                _, bank_box["bank"] = rt.decode_colmajor(
+                    tables, payload_of(0), s0.lines, well0,
+                    out=out[offs[0]:offs[1]].reshape(-1),
+                    want_bank=True)
+            except BaseException as e:  # re-raised on the caller thread
+                bank_box["err"] = e
 
         warmup = Thread(target=_warmup)
         warmup.start()
@@ -240,38 +254,55 @@ def _decode_v2_device(compressed, head, tables, out, offs) -> np.ndarray:
                 (0, int(FULL), w0 >> 10, 22))
 
     import os as _os
-    fallback = []
+
+    # lanes decode in waves: bounds host memory for the per-shard draw
+    # matrices (a whole-genome container's draws are the full quality
+    # matrix) and keeps the jit cache on one (W, L) shape per group
+    wave = int(_os.environ.get("QVZ_TPU_DEC_WAVE", "64"))
+    fallback: list[tuple[int, bytes]] = []
+    dplan = None
     with ThreadPoolExecutor(
             max_workers=min(8, _os.cpu_count() or 1)) as ex:
-        pre = {L: list(ex.map(prep_a, idxs))
-               for L, idxs in groups.items()}
-        if warmup is not None:
-            warmup.join()
-            bank = bank_box["bank"]
-        plan = LanePlan(tables, bank)
-        dplan = DecodePlan(plan, tables)
         for L, idxs in groups.items():
-            pa = pre[L]
-            payloads = [p[0] for p in pa]
-            draws = np.stack([p[1] for p in pa], axis=1)  # (cols,W,L)
-            pb = list(ex.map(prep_b, zip(idxs, payloads)))
-            cl = np.stack([p[0] for p in pb], axis=0)
-            states = [p[1] for p in pb]
-            qv, flags = decode_lanes(dplan, payloads, draws, cl, states)
-            for w, i in enumerate(idxs):
-                if flags[w]:
-                    fallback.append(i)
-                    continue
-                dst = out[offs[i]:offs[i + 1]]
-                dst[:, :cols] = qv[w] + 33
-                dst[:, cols] = ord("\n")
+            for w0i in range(0, len(idxs), wave):
+                wv = idxs[w0i:w0i + wave]
+                pa = list(ex.map(prep_a, wv))
+                if dplan is None:
+                    # first wave's prep overlapped the warmup decode
+                    if warmup is not None:
+                        warmup.join()
+                        if "err" in bank_box:
+                            raise bank_box["err"]
+                        bank = bank_box["bank"]
+                    plan = LanePlan(tables, bank)
+                    dplan = DecodePlan(plan, tables)
+                payloads = [p[0] for p in pa]
+                draws = np.stack([p[1] for p in pa], axis=1)
+                pb = list(ex.map(prep_b, zip(wv, payloads)))
+                cl = np.stack([p[0] for p in pb], axis=0)
+                states = [p[1] for p in pb]
+                qv, flags = decode_lanes(dplan, payloads, draws, cl,
+                                         states)
+                for w, i in enumerate(wv):
+                    if flags[w]:
+                        fallback.append((i, payloads[w]))
+                        continue
+                    dst = out[offs[i]:offs[i + 1]]
+                    dst[:, :cols] = qv[w] + 33
+                    dst[:, cols] = ord("\n")
 
-    for i in fallback:
-        s = shards[i]
-        well = np.frombuffer(s.well_state, dtype="<u4")
-        rt.decode_colmajor(tables, payload_of(i), s.lines, well,
-                           out=out[offs[i]:offs[i + 1]].reshape(-1),
-                           init_bank=bank)
+        def host_redecode(args):
+            i, pay = args
+            s = shards[i]
+            well = np.frombuffer(s.well_state, dtype="<u4")
+            rt.decode_colmajor(tables, pay, s.lines, well,
+                               out=out[offs[i]:offs[i + 1]].reshape(-1),
+                               init_bank=bank)
+
+        # flagged lanes re-decode on host THREADS (checksums already
+        # verified in prep_a), matching the plain host path's
+        # parallelism when the exactness checks punt every lane
+        list(ex.map(host_redecode, fallback))
     return out
 
 

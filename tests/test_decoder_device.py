@@ -291,3 +291,71 @@ def test_device_decode_pathological_shapes(kind, cfg, monkeypatch):
     monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
     devk = dec_mod.decode(comp, device=True)
     assert np.array_equal(devk, host)
+
+
+def _rebuild(comp, mutate_payloads):
+    """Re-assemble a QVZ2 container with mutated payloads (checksums
+    recomputed, so integrity checks pass — the corruption is the
+    payload/claimed-geometry mismatch itself)."""
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    head = container_v2.parse(comp, blocks_len=None)
+    hdr = container_v2.header_size()
+    tables = rt.tables_from_blocks(comp[hdr:], head.cluster_count,
+                                   head.columns)
+    head = container_v2.parse(comp, blocks_len=tables.consumed)
+    pays = [bytes(comp[s.payload_off:s.payload_off + s.payload_len])
+            for s in head.shards]
+    pays = mutate_payloads(pays)
+    return container_v2.build(
+        bytes(head.blocks), head.cluster_count, head.columns,
+        head.lines, [s.lines for s in head.shards],
+        [bytes(s.well_state) for s in head.shards], pays,
+        order=head.order, priming=head.priming)
+
+
+def test_device_decode_truncated_payload_raises(monkeypatch):
+    """A payload truncated to a quarter (with a CONSISTENT directory
+    and checksum) makes the host decoder raise ValueError via the
+    BitReader overrun fail-fast; the device path must converge on the
+    same error instead of silently returning zero-fill garbage
+    (round-3 review finding)."""
+
+    def truncate_last(pays):
+        return pays[:-1] + [pays[-1][: len(pays[-1]) // 4]]
+
+    data = _mkdata(4000, 20, seed=37)
+    comp = _rebuild(_encode(data, shards=3, prime=False).compressed,
+                    truncate_last)
+    with pytest.raises(ValueError):
+        dec_mod.decode(comp)
+    with pytest.raises(ValueError):
+        dec_mod.decode(comp, device=True)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    with pytest.raises(ValueError):
+        dec_mod.decode(comp, device=True)
+
+
+def test_corrupt_warmup_shard_raises_not_hangs():
+    """A corrupt warmup payload in a primed container must surface as
+    ValueError on both decode paths — the warmup thread used to leave
+    its workers blocked forever (host path) or die into a bare
+    KeyError (device path)."""
+    data = _mkdata(24000, 10, seed=41)
+    comp = bytearray(_encode(data, shards=4, prime=True).compressed)
+    from qvz_tpu.format import container_v2
+    from qvz_tpu.native import runtime as rt
+
+    head = container_v2.parse(bytes(comp), blocks_len=None)
+    hdr = container_v2.header_size()
+    tables = rt.tables_from_blocks(bytes(comp[hdr:]),
+                                   head.cluster_count, head.columns)
+    head = container_v2.parse(bytes(comp), blocks_len=tables.consumed)
+    assert head.priming
+    comp[head.shards[0].payload_off] ^= 0xFF
+    comp = bytes(comp)
+    with pytest.raises(ValueError):
+        dec_mod.decode(comp)
+    with pytest.raises(ValueError):
+        dec_mod.decode(comp, device=True)
