@@ -368,6 +368,30 @@ def main() -> None:
         # probe results land in the structured `telemetry` dict carried
         # on the final JSON line, not just the log tail.
         telemetry: dict = {"probe_stalls": 0}
+
+        # Liveness pre-probe: a DEAD tunnel (observed for most of round
+        # 3 — jax.devices() itself hangs) would otherwise burn the full
+        # stall-retry budget of every probe plus two 900 s legs
+        # (~1.5 h) to learn nothing. One 90 s gate answers it.
+        alive_code = ("import jax, numpy as np, jax.numpy as jnp\n"
+                      "x = (jnp.ones((128, 128)) @ jnp.ones((128,"
+                      " 128))).sum()\n"
+                      "print('alive', float(np.asarray(x)), "
+                      "jax.devices()[0].device_kind.replace(' ', '_'))\n")
+        try:
+            r = subprocess.run([sys.executable, "-c", alive_code],
+                               env=env, capture_output=True, text=True,
+                               timeout=90)
+            alive = r.returncode == 0 and "alive" in r.stdout
+            if alive and len(r.stdout.split()) >= 3:
+                telemetry["device_kind"] = r.stdout.split()[2]
+        except subprocess.TimeoutExpired:
+            alive = False
+        telemetry["tunnel_alive"] = alive
+        if not alive:
+            log("device: tunnel DEAD (liveness probe > 90s) — skipping "
+                "device probes and device legs this run")
+            probes = {}
         for name, code in probes.items():
             got = False
             for attempt in range(3):
@@ -499,6 +523,8 @@ def main() -> None:
             "'fallback':out.stats.coder_fallback_lanes})\n"
             "print(json.dumps(min(res,key=lambda r:r['te'])))\n")
         try:
+            if not alive:
+                raise subprocess.TimeoutExpired("tunnel dead", 0)
             t0 = time.perf_counter()
             r = subprocess.run([sys.executable, "-c", dev_leg], env=env,
                                capture_output=True, text=True, timeout=900)
@@ -521,8 +547,11 @@ def main() -> None:
                 log(f"ours/device-production: FAILED rc={r.returncode} "
                     f"{r.stderr[-200:]}")
         except subprocess.TimeoutExpired:
-            telemetry["device_production_s"] = "stall>900"
-            log("ours/device-production: TIMEOUT >900s (tunnel stall) — "
+            telemetry["device_production_s"] = (
+                "tunnel_dead" if not alive else "stall>900")
+            log("ours/device-production: SKIPPED (tunnel dead)"
+                if not alive else
+                "ours/device-production: TIMEOUT >900s (tunnel stall) — "
                 "honest negative result; host path remains production "
                 "default on tunnel-attached chips")
 
@@ -558,6 +587,8 @@ def main() -> None:
             "print(json.dumps({'td':min(res),'lanes':lanes,"
             "'exact':bool(np.array_equal(out,want))}))\n")
         try:
+            if not alive:
+                raise subprocess.TimeoutExpired("tunnel dead", 0)
             r = subprocess.run([sys.executable, "-c", dec_leg], env=env,
                                capture_output=True, text=True, timeout=900)
             if r.returncode == 0 and r.stdout.strip():
@@ -576,8 +607,10 @@ def main() -> None:
                 log(f"ours/device-decode: FAILED rc={r.returncode} "
                     f"{r.stderr[-200:]}")
         except subprocess.TimeoutExpired:
-            telemetry["device_decode_s"] = "stall>900"
-            log("ours/device-decode: TIMEOUT >900s (tunnel stall)")
+            telemetry["device_decode_s"] = (
+                "tunnel_dead" if not alive else "stall>900")
+            log("ours/device-decode: SKIPPED (tunnel dead)" if not alive
+                else "ours/device-decode: TIMEOUT >900s (tunnel stall)")
 
         # --- byte-exact parity leg (closes the seed loophole): a DEBUG
         # reference build pins the WELL seed (src/qv_stream.c:82), so
