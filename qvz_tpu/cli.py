@@ -67,6 +67,11 @@ def usage(name: str) -> None:
     print("   --streaming  : Bounded-memory encode (chunked stats, shard-wave")
     print("                  coding, streamed container writes; auto above")
     print("                  QVZ_TPU_STREAM_MIN_BYTES, default 1 GiB)")
+    print(" Env knobs: QVZ_TPU_DEVICE_MIN_BYTES (auto device dispatch size),")
+    print("   QVZ_TPU_DEVICE_CODER / QVZ_TPU_CODER_PALLAS / QVZ_TPU_CODER_BATCH")
+    print("   (device entropy encoder), QVZ_TPU_DEVICE_DECODE /")
+    print("   QVZ_TPU_DEC_PALLAS / QVZ_TPU_DEC_WAVE (device entropy decoder),")
+    print("   QVZ_TPU_DEVICE_LANES (device shard plan)")
 
 
 def _make_well(opts) -> WellState:

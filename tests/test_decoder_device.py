@@ -359,3 +359,28 @@ def test_corrupt_warmup_shard_raises_not_hangs():
         dec_mod.decode(comp)
     with pytest.raises(ValueError):
         dec_mod.decode(comp, device=True)
+
+
+def test_mosaic_decode_multiplane_lanes(monkeypatch):
+    """w8 >= 2 (more than 128 lanes in ONE kernel call): exercises the
+    per-plane table widening / counts reset loops and (sc, w8, 128)
+    masked sums, which every narrower test leaves at w8 == 1."""
+    from qvz_tpu.ops import decoder_pallas
+
+    shapes = []
+    real = decoder_pallas._run
+
+    def spy(*a, **k):
+        shapes.append(a[0].shape)
+        return real(*a, **k)
+
+    monkeypatch.setattr(decoder_pallas, "_run", spy)
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    monkeypatch.setenv("QVZ_TPU_DEC_WAVE", "200")
+    data = _mkdata(4480, 4, seed=43)  # 140 shards x 32 lines
+    comp = _encode(data, shards=140, prime=False).compressed
+    host = dec_mod.decode(comp)
+    dev = dec_mod.decode(comp, device=True)
+    assert np.array_equal(dev, host)
+    assert shapes and max(s[1] for s in shapes) > 128, \
+        f"multi-plane path not engaged: {shapes}"
