@@ -152,7 +152,7 @@ def _dkernel(colmap_ref, lstart_ref, sbound_ref, bmax_ref,
              qv_ref, st_ref,
              counts_ref, symw_ref, ptw_ref, tabs_s_ref, tabs_p_ref,
              payv_ref, prevq_ref, state_ref, dma_sem,
-             *, bs, s_pad, sc, p_pad, L_real, PW):
+             *, bs, s_pad, sc, p_pad, L_real, PW, window):
     i = pl.program_id(0)
     shape = cs_ref.shape[1:]                  # (w8, 128)
     w8 = shape[0]
@@ -199,6 +199,24 @@ def _dkernel(colmap_ref, lstart_ref, sbound_ref, bmax_ref,
         s[6] = s[6].astype(_I32)            # nb
         s[7] = s[7].astype(_I32)            # wpos
         return tuple(s)
+
+    # Payload-cursor window, ONCE per block: a lane fetches at most 2
+    # words per step, so every refill mask inside this block hits
+    # within [min wpos, max wpos + 2*bs + 1] — the refill pass then
+    # sweeps only those chunks instead of all PW (lanes drift apart
+    # slowly: same design, similar rates, so the window is typically
+    # 1-2 chunks). Pad lanes edge-replicate a real lane (decode_scan_
+    # tables), so their cursors track a real trajectory and cannot
+    # blow the window. window=False compiles the full sweep instead
+    # (perf bisection + fallback if rank-0 vector reductions turn out
+    # NYI in compiled Mosaic — interpret cannot vouch for that).
+    if window:
+        wcur = state_ref[7].astype(_I32)
+        cw_lo = jnp.min(wcur) // _SCW
+        cw_hi = jnp.minimum((jnp.max(wcur) + 2 * bs + 1) // _SCW + 1,
+                            PW // _SCW)
+    else:
+        cw_lo, cw_hi = 0, PW // _SCW
 
     def step(k, carry):
         l, u, t, r0, r1, r2, nb, wpos, bad, of = carry
@@ -323,7 +341,7 @@ def _dkernel(colmap_ref, lstart_ref, sbound_ref, bmax_ref,
                 w * (io == (wpos + 1)[None]).astype(_I32), axis=0)
             return (w1, w2)
 
-        W1, W2 = jax.lax.fori_loop(0, PW // _SCW, ch_w, (zi, zi))
+        W1, W2 = jax.lax.fori_loop(cw_lo, cw_hi, ch_w, (zi, zi))
         w1u = jnp.where(need1, W1.astype(_U32), _U32(0))
         r0, r1, r2 = _ins96(r0, r1, r2, w1u, nb)
         nb = nb + 32 * need1.astype(_I32)
@@ -355,10 +373,11 @@ def _dkernel(colmap_ref, lstart_ref, sbound_ref, bmax_ref,
 
 
 @partial(jax.jit, static_argnames=("W", "S", "L_real", "Lp", "cols",
-                                   "p_pad", "PW", "interpret"))
+                                   "p_pad", "PW", "interpret",
+                                   "window"))
 def _run(combo, init_state, pta, ptb, icc, sym, payw,
          colmap, lstart, sbound, bmax,
-         W, S, L_real, Lp, cols, p_pad, PW, interpret):
+         W, S, L_real, Lp, cols, p_pad, PW, interpret, window):
     """Jitted whole (pads/reshapes included — coder_pallas lesson: the
     eager ops around a kernel each pay a dispatch round-trip on
     remote-attached backends)."""
@@ -367,12 +386,16 @@ def _run(combo, init_state, pta, ptb, icc, sym, payw,
     w8 = w_pad // _LANE
     s_pad, sc = _spad(S)
 
-    def padw(a, fill=0):
-        a = jnp.pad(a, ((0, 0), (0, w_pad - W)), constant_values=fill)
+    def padw(a):
+        # EDGE replication: pad lanes mirror the last real lane, so
+        # their payload cursors track a real trajectory and cannot
+        # blow the refill window (constant-fill pads used to refill
+        # every step — nb stuck low — and their cursors ran away)
+        a = jnp.pad(a, ((0, 0), (0, w_pad - W)), mode="edge")
         return a.reshape(a.shape[0], w8, _LANE)
 
     combo_p = padw(combo.astype(_I32))
-    state_p = padw(init_state.astype(_U32), 1)
+    state_p = padw(init_state.astype(_U32))
 
     def padtab(a, width, fill):
         a = jnp.pad(a.astype(_I32), ((0, 0), (0, width - a.shape[1])),
@@ -385,8 +408,8 @@ def _run(combo, init_state, pta, ptb, icc, sym, payw,
     sym_p = padtab(sym, s_pad, 0)
 
     PWp = -(-PW // _SCW) * _SCW
-    payw_p = jnp.pad(payw.astype(_I32),
-                     ((0, PWp - PW), (0, w_pad - W)))
+    payw_p = jnp.pad(payw.astype(_I32), ((0, PWp - PW), (0, 0)))
+    payw_p = jnp.pad(payw_p, ((0, 0), (0, w_pad - W)), mode="edge")
     payw_p = payw_p.reshape(PWp, w8, _LANE)
 
     nblocks = T // _BS
@@ -415,7 +438,7 @@ def _run(combo, init_state, pta, ptb, icc, sym, payw,
     )
     qv, st = pl.pallas_call(
         partial(_dkernel, bs=_BS, s_pad=s_pad, sc=sc, p_pad=p_pad,
-                L_real=L_real, PW=PWp),
+                L_real=L_real, PW=PWp, window=window),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, w8, _LANE), _I32),
@@ -430,7 +453,8 @@ def _run(combo, init_state, pta, ptb, icc, sym, payw,
 
 
 def decode_scan_tables(combo, init_state, tables, payw, col_slots,
-                       W, S, L_real, Lp, cols, interpret=False):
+                       W, S, L_real, Lp, cols, interpret=False,
+                       window: bool | None = None):
     """Run the decode kernel over T = cols*Lp steps.
 
     combo: (T, W) i32 stream of cl*128 + draw; init_state: (10, W) u32
@@ -442,6 +466,10 @@ def decode_scan_tables(combo, init_state, tables, payw, col_slots,
     payload); col_slots: (cols,) per-column slot counts.
 
     Returns (state (10, W) u32 numpy-convertible, qv (T, W) i32)."""
+    import os
+
+    if window is None:
+        window = os.environ.get("QVZ_TPU_DEC_WINDOW", "1") != "0"
     pta, ptb, icc, sym = tables
     T = combo.shape[0]
     assert T == cols * Lp and Lp % _BS == 0
@@ -469,4 +497,5 @@ def decode_scan_tables(combo, init_state, tables, payw, col_slots,
                 jnp.asarray(payw_i),
                 jnp.asarray(colmap), jnp.asarray(lstart),
                 jnp.asarray(sbound), jnp.asarray(bmax),
-                W, S, L_real, Lp, cols, p_pad, PW, interpret)
+                W, S, L_real, Lp, cols, p_pad, PW, interpret,
+                window)

@@ -384,3 +384,18 @@ def test_mosaic_decode_multiplane_lanes(monkeypatch):
     assert np.array_equal(dev, host)
     assert shapes and max(s[1] for s in shapes) > 128, \
         f"multi-plane path not engaged: {shapes}"
+
+
+def test_mosaic_decode_window_disabled(monkeypatch):
+    """QVZ_TPU_DEC_WINDOW=0 compiles the full payload sweep instead of
+    the cross-lane cursor window (the fallback if rank-0 vector
+    reductions turn out NYI in compiled Mosaic); both must match the
+    host decoder."""
+    monkeypatch.setenv("QVZ_TPU_DEC_PALLAS", "interpret")
+    data = _mkdata(3000, 10, seed=53)
+    comp = _encode(data, shards=4, n_clusters=2, prime=False).compressed
+    host = dec_mod.decode(comp)
+    monkeypatch.setenv("QVZ_TPU_DEC_WINDOW", "0")
+    assert np.array_equal(dec_mod.decode(comp, device=True), host)
+    monkeypatch.setenv("QVZ_TPU_DEC_WINDOW", "1")
+    assert np.array_equal(dec_mod.decode(comp, device=True), host)
