@@ -107,6 +107,23 @@ def coder_fused_bytes(steps: int, lanes: int, slots: int) -> int:
     return steps * lanes * (4 * slots * 4 + 10 * 4)
 
 
+def decoder_fused_bytes(steps: int, lanes: int, slots: int,
+                        bisect: int = 2, p_pad: int = 128,
+                        window_words: int = 256) -> int:
+    # The decode kernel's per-step working traffic: the combo counts
+    # table swept by (1 owner pass + `bisect` bisection passes + 1
+    # eq pass with a write-back), the ctx table pass over p_pad, the
+    # symbol table inside the eq pass, and the payload-window refill
+    # sweep (cursor-window bounded; pass the full PW when the window
+    # is disabled).
+    per_lane = ((2 + bisect) * slots * 4    # counts reads
+                + slots * 4                 # counts write-back
+                + slots * 4                 # symw in the eq pass
+                + 2 * p_pad * 4             # pta/ptb ctx pass
+                + window_words * 4)         # payload refill window
+    return steps * lanes * per_lane
+
+
 def coder_pass1_bytes(cols: int, lanes: int, lane_len: int,
                       slots: int) -> int:
     # read mid/qs i32; write 3 u32 triples. The (W, L, S) one-hot
