@@ -68,10 +68,14 @@ def compress_bytes(data: bytes, *, mode: int = MODE_RATIO,
     return out.compressed, out.stats
 
 
-def decompress_bytes(container: bytes) -> bytes:
-    """Decompress a v1 or QVZ2 container to quality text (with newlines)."""
+def decompress_bytes(container: bytes,
+                     device: bool | None = None) -> bytes:
+    """Decompress a v1 or QVZ2 container to quality text (with newlines).
+
+    device=True decodes QVZ2 shards in accelerator lanes (byte-equal to
+    the host decoder; see pipeline.decode.decode)."""
     from qvz_tpu.pipeline import decode as dec_mod
-    return dec_mod.decode(container).tobytes()
+    return dec_mod.decode(container, device=device).tobytes()
 
 
 def compress(input_path: str, output_path: str, **kwargs):
@@ -118,8 +122,10 @@ def compress(input_path: str, output_path: str, **kwargs):
     return out.stats
 
 
-def decompress(input_path: str, output_path: str) -> int:
-    """File-to-file decompression. Returns the number of lines."""
+def decompress(input_path: str, output_path: str,
+               device: bool | None = None) -> int:
+    """File-to-file decompression (memory-mapped both ways). Returns
+    the number of lines. device= as in decompress_bytes."""
     from qvz_tpu.pipeline import decode as dec_mod
-    with open(input_path, "rb") as f:
-        return dec_mod.decode_to_file(f.read(), output_path)
+    return dec_mod.decode_file_to_file(input_path, output_path,
+                                       device=device)
