@@ -144,6 +144,18 @@ int main() {
           for (uint32_t c = 0; c < cols; ++c)
             assert(out[i * (cols + 1) + c] ==
                    recon[t][static_cast<size_t>(c) * n + i] + 33);
+        // cluster prologue (device lane decoder's host stage): must
+        // reproduce the encoded cluster ids and a consistent takeover
+        // state (l <= t <= u), concurrently across shard threads
+        std::vector<uint8_t> pcl(n);
+        uint64_t pst[4];
+        int32_t pr = qvz_decode_cluster_prologue(
+            tables, payloads[t].data(), static_cast<uint64_t>(r), n,
+            nullptr, pcl.data(), pst);
+        assert(pr == 0);
+        for (uint64_t i = 0; i < n; ++i) assert(pcl[i] == cl[i]);
+        assert(pst[0] <= pst[2] && pst[2] <= pst[1]);
+        assert(pst[3] >= 22);
       });
     }
     for (auto& th : ts) th.join();
