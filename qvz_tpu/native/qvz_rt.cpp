@@ -2319,10 +2319,12 @@ int32_t qvz_decode_lines(void* tables, const uint8_t* payload,
   Well well(well_state);
 
   for (uint64_t i = 0; i < n_lines; ++i) {
-    // Reference prints at lineCtr 0, 1M, ... but its loop runs only to
-    // lines-2 (the final line is special-cased past the print,
-    // qv_compressor.c:163-167) — hence the i + 1 < n_lines guard.
-    if (verbose && i % 1000000 == 0 && i + 1 < n_lines) {
+    // Reference prints at lineCtr 0, 1M, ...; the special-cased final
+    // line ALSO prints when (lines-1) % 1e6 == 0 (qv_compressor.c:196-198
+    // repeats the in-loop print before the last line), so no last-line
+    // suppression here (ADVICE r3: the old `i + 1 < n_lines` guard
+    // diverged at n_lines == k*1e6 + 1).
+    if (verbose && i % 1000000 == 0) {
       printf("Line: %dM\n", static_cast<int>(i / 1000000));
     }
     bool last_line = (i + 1 == n_lines);

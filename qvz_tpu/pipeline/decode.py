@@ -8,6 +8,7 @@ codebook tables are parsed.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import struct
 
@@ -21,19 +22,35 @@ def _malformed_raises_valueerror(fn):
     """Error-type convergence at the decode boundary: a malformed or
     hostile container must always surface as ValueError, whatever the
     parsing internals tripped over (short-buffer slicing, struct
-    unpacking, ctypes width conversion, an absurd claimed geometry
-    blowing the allocator). The reference has no validation at all
+    unpacking). The reference has no validation at all
     (codebook.c:560-586 trusts every byte); converging on one exception
-    type is what makes ours testable and catchable."""
+    type is what makes ours testable and catchable.
+
+    MemoryError/OverflowError are NOT converted here (ADVICE r3): a
+    host OOM while decoding a large, VALID container is a resource
+    failure, not corruption, and must surface as MemoryError. Those two
+    are converted only inside `_parsing()` blocks, where absurd claimed
+    sizes from a hostile header are the plausible cause."""
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except (IndexError, OverflowError, MemoryError,
-                struct.error) as e:
+        except (IndexError, struct.error) as e:
             raise ValueError(
                 f"malformed container ({type(e).__name__}: {e})") from e
     return wrapper
+
+
+@contextlib.contextmanager
+def _parsing():
+    """Header/geometry/table parsing stage: here an OverflowError (ctypes
+    width conversion) or MemoryError (allocator fed a hostile claimed
+    size) IS evidence of a malformed container."""
+    try:
+        yield
+    except (IndexError, OverflowError, MemoryError, struct.error) as e:
+        raise ValueError(
+            f"malformed container ({type(e).__name__}: {e})") from e
 
 
 def _sane_output_size(lines: int, columns: int) -> None:
@@ -72,9 +89,12 @@ def decode(compressed: bytes, out: np.ndarray | None = None,
         device = os.environ.get("QVZ_TPU_DEVICE_DECODE", "0") == "1"
     if container_v2.is_v2(compressed):
         return _decode_v2(compressed, out, device=device)
-    cluster_count, columns, lines = container.read_header(compressed[:9])
-    _sane_output_size(lines, columns)
-    tables = rt.tables_from_blocks(compressed[9:], cluster_count, columns)
+    with _parsing():
+        cluster_count, columns, lines = container.read_header(
+            compressed[:9])
+        _sane_output_size(lines, columns)
+        tables = rt.tables_from_blocks(compressed[9:], cluster_count,
+                                       columns)
     pos = 9 + tables.consumed
     well_words = np.frombuffer(compressed[pos:pos + 128], dtype="<u4")
     payload = compressed[pos + 128:]
@@ -89,13 +109,14 @@ def _decode_v2(compressed: bytes, out: np.ndarray | None = None,
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    head = container_v2.parse(compressed, blocks_len=None)
-    hdr = container_v2.header_size()
-    tables = rt.tables_from_blocks(compressed[hdr:], head.cluster_count,
-                                   head.columns)
-    head = container_v2.parse(compressed, blocks_len=tables.consumed)
-    cols = head.columns
-    _sane_output_size(head.lines, cols)
+    with _parsing():
+        head = container_v2.parse(compressed, blocks_len=None)
+        hdr = container_v2.header_size()
+        tables = rt.tables_from_blocks(compressed[hdr:],
+                                       head.cluster_count, head.columns)
+        head = container_v2.parse(compressed, blocks_len=tables.consumed)
+        cols = head.columns
+        _sane_output_size(head.lines, cols)
     if out is None:
         out = np.empty((head.lines, cols + 1), dtype=np.uint8)
     offs = np.concatenate(
@@ -314,11 +335,12 @@ def decode_to_file(compressed, path: str, verbose: bool = False,
     no second full-size copy at GB scale. `compressed` may be bytes or
     any buffer (e.g. an np.memmap of the container — see
     decode_file_to_file)."""
-    if container_v2.is_v2(compressed):
-        head = container_v2.parse(compressed, blocks_len=None)
-        lines, cols = head.lines, head.columns
-    else:
-        _, cols, lines = container.read_header(bytes(compressed[:9]))
+    with _parsing():
+        if container_v2.is_v2(compressed):
+            head = container_v2.parse(compressed, blocks_len=None)
+            lines, cols = head.lines, head.columns
+        else:
+            _, cols, lines = container.read_header(bytes(compressed[:9]))
     if lines == 0:
         open(path, "wb").close()
         return 0
