@@ -54,35 +54,45 @@ _BS = 64               # coding steps per grid block
 _SC = 384              # slot-axis chunk per masked-sum pass
 
 
-def _spad(S: int) -> tuple[int, int]:
-    sc = min(_SC, -(-S // _LANE) * _LANE)
+def _spad(S: int, bstep: int = 1) -> tuple[int, int]:
+    # The batched kernel (bstep > 1) keeps ~2 live (sc, W) masked-sum
+    # temporaries PER batch step inside the chunk loop; scoped VMEM
+    # scales with bstep*sc, so shrink the slot chunk as the batch factor
+    # grows (same total sweep work, more chunk iterations). Measured:
+    # bstep=4 at sc=384, W=512, S_pad=1152 blew the 16 MB scoped-vmem
+    # stack by 1.96 MB on a v5e; bstep*sc <= 2*_SC holds the b<=2 shape.
+    sc_cap = max(_LANE, (2 * _SC // max(bstep, 2)) // _LANE * _LANE)
+    sc = min(min(_SC, sc_cap), -(-S // _LANE) * _LANE)
     return -(-S // sc) * sc, sc
 
 
-def fits(W: int, S: int) -> bool:
+def fits(W: int, S: int, bstep: int = 1) -> bool:
     """True when the kernel's whole VMEM working set — counts table,
     per-chunk masked-sum temporaries, double-buffered stream/table/
     output blocks — fits the ~16 MB core VMEM with headroom (the temp
     term calibrated against a measured 16.94 MB compile at W=1024,
-    S_pad=1152, sc=384)."""
-    s_pad, sc = _spad(S)
+    S_pad=1152, sc=384; the bstep term against the measured 17.96 MB
+    scoped-vmem overflow at bstep=4, W=512, same tables)."""
+    s_pad, sc = _spad(S, bstep)
     w_pad = -(-W // _LANE) * _LANE
     counts = s_pad * w_pad * 4
     key_wide = s_pad * w_pad * 4
-    temps = 5 * sc * w_pad * 4
+    temps = (5 + 2 * max(0, bstep - 2)) * sc * w_pad * 4
     tables = 2 * s_pad * _LANE * 4      # single-buffered VMEM scratch
     streams = (5 + 3) * _BS * w_pad * 4 * 2
     counts = counts + key_wide
     return counts + temps + tables + streams <= 13 * 2 ** 20
 
 
-def lane_group(W: int, S: int) -> int:
+def lane_group(W: int, S: int, bstep: int | None = None) -> int:
     """Largest lane-group width (multiple of 128) that fits VMEM;
     0 if even 128 lanes do not fit. Lanes are independent streams, so
     callers may run the kernel per group with identical results."""
+    if bstep is None:
+        bstep = batch_steps()
     w = -(-W // _LANE) * _LANE
     while w >= _LANE:
-        if fits(w, S):
+        if fits(w, S, bstep):
             return w
         w //= 2
     return 0
@@ -264,11 +274,12 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
 
 def batch_steps() -> int:
     """Coding steps sharing one counts-table pass (QVZ_TPU_CODER_BATCH).
-    Default 1 = the round-3-measured kernel; batched variants are
-    validated byte-equal in interpret mode and gated on-chip before
-    becoming a default (Mosaic lowering must be vouched for on real
-    hardware — interpret-mode green is not sufficient evidence)."""
-    b = int(os.environ.get("QVZ_TPU_CODER_BATCH", "1"))
+    Default 4 = the round-4 on-chip winner: the v5e sweep
+    (build/onchip_perf.json, byte-parity asserted on every leg) measured
+    the fused scan at 78.2 Msym/s with b=4 vs 59.2 at b=1 (b=2: 60.7,
+    b=8: 77.7 but slower end-to-end), so the batched lowering is vouched
+    on real hardware, not just interpret mode."""
+    b = int(os.environ.get("QVZ_TPU_CODER_BATCH", "4"))
     if b < 1 or _BS % b:
         raise ValueError(f"QVZ_TPU_CODER_BATCH must divide {_BS}: {b}")
     return b
@@ -301,7 +312,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
     assert L <= 2047, "combo occurrence field is 12 bits (lane run cap)"
     w_pad = -(-W // _LANE) * _LANE
     t_pad = -(-T // _BS) * _BS
-    s_pad, sc = _spad(S)
+    s_pad, sc = _spad(S, bstep)
 
     def pad(a, fill):
         a = jnp.pad(a, ((0, t_pad - T), (0, w_pad - W)),

@@ -402,13 +402,15 @@ def decode_lanes(dplan: DecodePlan, payloads, draws, cl, states,
     nb0 = (32 - off).astype(np.int32)
     wpos0 = (wpos0 + 1).astype(np.int32)
 
-    # --- Mosaic kernel path (opt-in; compiled-hardware vouching gated
-    # in test_tpu_onchip — interpret-green alone is NOT sufficient on
-    # this toolchain, so the default stays the XLA scan until the
-    # on-chip parity gate has run) ---------------------------------
+    # --- Mosaic kernel path (default since round 4: the on-chip
+    # parity gate ran — test_device_decode_parity_on_chip in
+    # build/onchip_tally.json — and the v5e sweep measured the kernel
+    # at 1.5 Msym/s vs the XLA scan's 0.5 (build/onchip_perf.json), so
+    # when a caller asks for device decode the kernel is the better
+    # vouched form. QVZ_TPU_DEC_PALLAS=0 restores the scan.) --------
     from qvz_tpu.ops import decoder_pallas
 
-    pallas_flag = os.environ.get("QVZ_TPU_DEC_PALLAS", "0")
+    pallas_flag = os.environ.get("QVZ_TPU_DEC_PALLAS", "1")
     Lp = -(-L // 64) * 64
     p_pad = max(128, -(-dplan.pta.shape[1] // 128) * 128)
     wg = decoder_pallas.lane_group(Wb, S, -(-P // 256) * 256, Lp,

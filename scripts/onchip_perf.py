@@ -1,0 +1,187 @@
+"""On-chip performance sweep for the device coder/decoder (round 4).
+
+Runs on the REAL TPU (no JAX_PLATFORMS forcing): sweeps the Mosaic
+coder's step-batch factor (QVZ_TPU_CODER_BATCH) and lane width, and the
+device decoder's scan vs Mosaic-kernel forms (QVZ_TPU_DEC_PALLAS,
+QVZ_TPU_DEC_WINDOW), asserting byte parity against the host paths on
+every leg so each measurement is also a vouching run. Results append
+incrementally to build/onchip_perf.json (a tunnel stall mid-sweep keeps
+everything measured so far).
+
+Every leg reports Msym/s plus pct_hbm_peak from utils/roofline.py's
+explicit-traffic models (VERDICT r3 next item 2/3). Reference scope:
+the arithmetic coder hot loop arith.c:24-205, restructured per
+BASELINE.json's north star.
+"""
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+OUT = REPO / "build" / "onchip_perf.json"
+
+results: dict = {"ts": time.time(), "legs": {}}
+if OUT.exists():
+    try:
+        prev = json.loads(OUT.read_text())
+        results["legs"] = prev.get("legs", {})
+    except ValueError:
+        pass
+
+
+def save():
+    OUT.parent.mkdir(exist_ok=True)
+    OUT.write_text(json.dumps(results, indent=1))
+
+
+def main():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    results["device_kind"] = kind
+    save()
+    print("device:", kind, flush=True)
+
+    from qvz_tpu.constants import DISTORTION_MSE
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.pipeline import decode as dec
+    from qvz_tpu.pipeline import encode as enc
+    from qvz_tpu.utils import roofline
+
+    peaks = roofline.peaks_for(kind)
+
+    rng = np.random.default_rng(4)
+    n, cols = 500_000, 100
+    start = rng.integers(28, 40, size=(n, 1))
+    steps = rng.integers(-2, 3, size=(n, cols - 1)) - (
+        np.arange(cols - 1) // 40)
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 2,
+                   41).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    syms = n * cols
+
+    os.environ["QVZ_TPU_CODER_TIMINGS"] = "1"
+    os.environ["QVZ_TPU_DEVICE_MIN_BYTES"] = "0"
+
+    kw = dict(ratio=0.5, well_state=WellState.debug(), want_recon=False,
+              prime=False)
+
+    def encode_leg(tag, shards, batch):
+        if tag in results["legs"] and "error" not in results["legs"][tag]:
+            print(tag, "cached", flush=True)
+            return None
+        os.environ["QVZ_TPU_CODER_BATCH"] = str(batch)
+        host = enc.encode(data, dist, use_jax=False, shards=shards,
+                          **kw)
+        r = enc.encode(data, dist, use_jax=True, shards=shards, **kw)
+        assert r.compressed == host.compressed, f"{tag}: warm parity"
+        t0 = time.perf_counter()
+        r = enc.encode(data, dist, use_jax=True, shards=shards, **kw)
+        wall = time.perf_counter() - t0
+        assert r.compressed == host.compressed, f"{tag}: parity"
+        assert r.stats.coder_fallback_lanes == 0
+        ph = r.stats.phase_seconds
+        scan = ph.get("device_code/scan", 0.0)
+        leg = {
+            "shards": shards, "batch": batch, "wall_s": round(wall, 3),
+            "device_code_s": round(ph.get("device_code", 0.0), 3),
+            "precompute_s": round(ph.get("device_code/precompute", 0.0),
+                                  3),
+            "scan_s": round(scan, 3),
+            "compact_fetch_s": round(
+                ph.get("device_code/compact_fetch", 0.0), 3),
+            "assemble_s": round(ph.get("device_code/assemble", 0.0), 3),
+            "scan_Msym_s": round(syms / scan / 1e6, 1) if scan else None,
+            "device_code_Msym_s": round(
+                syms / ph["device_code"] / 1e6, 1),
+        }
+        # roofline vs the fused-scan traffic model (S = the lane plan's
+        # slot count, derived once from this container's codebook blocks)
+        if "S" not in leg_S_box:
+            from qvz_tpu.format import container_v2
+            from qvz_tpu.native import runtime as rt
+            from qvz_tpu.ops.coder_device import LanePlan
+            head = container_v2.parse(host.compressed, blocks_len=None)
+            hdr = container_v2.header_size()
+            tables = rt.tables_from_blocks(
+                host.compressed[hdr:], head.cluster_count, head.columns)
+            leg_S_box["S"] = LanePlan(tables, None).S
+        S = leg_S_box["S"]
+        leg["S_slots"] = S
+        if scan:
+            L = -(-n // shards)
+            bytes_moved = roofline.coder_fused_bytes(cols * L, shards, S)
+            leg["roofline"] = roofline.utilization(bytes_moved, scan,
+                                                   peaks)
+        results["legs"][tag] = leg
+        save()
+        print(tag, json.dumps(leg), flush=True)
+        return r
+
+    leg_S_box: dict = {}
+
+    def safe(fn, *a):
+        try:
+            fn(*a)
+        except Exception as e:  # keep sweeping; record the failure
+            tag = a[0]
+            results["legs"][tag] = {"error": f"{type(e).__name__}: "
+                                             f"{str(e)[:300]}"}
+            save()
+            print(tag, "FAILED:", type(e).__name__, flush=True)
+
+    # --- coder batch sweep at the production lane width -------------
+    for batch in (1, 2, 4, 8):
+        safe(encode_leg, f"coder_W512_b{batch}", 512, batch)
+
+    # --- lane-width sweep at the best batch so far -------------------
+    best = min(
+        (leg for t, leg in results["legs"].items()
+         if t.startswith("coder_W512") and "scan_s" in leg),
+        key=lambda leg: leg["scan_s"] or 1e9)
+    bb = best["batch"]
+    results["best_batch_W512"] = bb
+    save()
+    for shards in (256, 1024):
+        safe(encode_leg, f"coder_W{shards}_b{bb}", shards, bb)
+
+    # --- decode: XLA scan form vs Mosaic kernel ----------------------
+    host_c = enc.encode(data, dist, use_jax=False, shards=512, **kw)
+    comp = host_c.compressed
+    want = dec.decode(comp)
+
+    def decode_leg(tag, pallas, window):
+        if tag in results["legs"] and "error" not in results["legs"][tag]:
+            print(tag, "cached", flush=True)
+            return
+        os.environ["QVZ_TPU_DEC_PALLAS"] = pallas
+        os.environ["QVZ_TPU_DEC_WINDOW"] = window
+        d = dec.decode(comp, device=True)      # warm/compile
+        assert np.array_equal(d, want), f"{tag}: warm parity"
+        t0 = time.perf_counter()
+        d = dec.decode(comp, device=True)
+        wall = time.perf_counter() - t0
+        assert np.array_equal(d, want), f"{tag}: parity"
+        leg = {"wall_s": round(wall, 3),
+               "Msym_s": round(syms / wall / 1e6, 1),
+               "pallas": pallas, "window": window}
+        results["legs"][tag] = leg
+        save()
+        print(tag, json.dumps(leg), flush=True)
+
+    safe(decode_leg, "decode_scan", "0", "1")
+    safe(decode_leg, "decode_mosaic_win", "1", "1")
+    safe(decode_leg, "decode_mosaic_nowin", "1", "0")
+
+    results["done"] = True
+    save()
+    print("sweep complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
