@@ -206,6 +206,31 @@ def _parse_and_dispatch(argv, name, opts, i) -> int:
         return 1
     input_name, output_name = files
 
+    if opts["verbose"]:
+        # reference preamble, main.c:311-340 (same wording/format)
+        if extract:
+            print(f"{input_name} will be decoded to {output_name}.")
+        else:
+            print(f"{input_name} will be encoded as {output_name}.")
+            if opts["mode"] == MODE_RATIO:
+                print(f"Ratio mode selected, targeting "
+                      f"{opts['ratio']:f} compression ratio.")
+            else:
+                print(f"Fixed-rate mode selected, targeting "
+                      f"{opts['ratio']:f} bits per symbol.")
+            if opts["distortion"] == DISTORTION_MSE:
+                print("MSE will be used as a distortion metric.")
+            elif opts["distortion"] == DISTORTION_LORENTZ:
+                print("log(1+L1) will be used as a distortion metric.")
+            elif opts["distortion"] == DISTORTION_MANHATTAN:
+                print("L1 will be used as a distortion metric.")
+            elif opts["distortion"] == DISTORTION_CUSTOM:
+                print(f"A custom distortion metric stored in "
+                      f"{opts['dist_file']} will be used.")
+            print(f"Compression will use {opts['clusters']} clusters, "
+                  f"with a movement threshold of "
+                  f"{opts['cluster_threshold']:.0f}.")
+
     import contextlib
     profiled = contextlib.nullcontext()
     if opts.get("profile_dir") and os.environ.get("QVZ_TPU_JAX_TRACE"):
@@ -252,8 +277,9 @@ def _run(opts, extract, input_name, output_name) -> int:
                                         verbose=opts["verbose"],
                                         device=dev)
         if opts["verbose"]:
-            print(f"Decoded {n} lines in {time.perf_counter() - t0:.4f} "
-                  f"seconds.")
+            # reference format main.c:98 uses %f, not %.4f
+            print(f"Decoded {n} lines in "
+                  f"{time.perf_counter() - t0:f} seconds.")
         return 0
 
     from qvz_tpu.pipeline import encode as enc_mod
@@ -290,7 +316,8 @@ def _run(opts, extract, input_name, output_name) -> int:
             well_state=_make_well(opts), dist_matrix=dist,
             shards=opts["shards"] if opts["shards"] != 1 else 0,
             prime=opts["prime"],
-            recon_path=opts.get("uncompressed"))
+            recon_path=opts.get("uncompressed"),
+            verbose=opts["verbose"])
         elapsed = time.perf_counter() - t0
         if opts["verbose"]:
             print(f"Streaming encode: {st['shards']} shards, "
@@ -306,9 +333,8 @@ def _run(opts, extract, input_name, output_name) -> int:
     if opts.get("hosts", 1) > 1:
         # Multi-host driver: N worker processes over contiguous read
         # ranges, container byte-identical to the 1-process encode.
-        if opts.get("reuse_books") or opts.get("uncompressed"):
-            raise ValueError(
-                "--hosts does not support --reuse-books or -u")
+        if opts.get("reuse_books"):
+            raise ValueError("--hosts does not support --reuse-books")
         from qvz_tpu.parallel.multihost import encode_multihost
         compressed, mh = encode_multihost(
             input_name, n_hosts=opts["hosts"],
@@ -317,7 +343,9 @@ def _run(opts, extract, input_name, output_name) -> int:
             ratio=opts["ratio"],
             cluster_threshold=opts["cluster_threshold"],
             well_state=_make_well(opts), dist_matrix=dist,
-            use_jax=opts["use_jax"] is True, prime=opts["prime"])
+            use_jax=opts["use_jax"] is True, prime=opts["prime"],
+            recon_path=opts.get("uncompressed"),
+            verbose=opts["verbose"])
         with open(output_name, "wb") as f:
             f.write(compressed)
         elapsed = time.perf_counter() - t0
@@ -385,9 +413,12 @@ def _run(opts, extract, input_name, output_name) -> int:
         print(f"Lines: {out.stats.lines}")
         print(f"Columns: {out.stats.columns}")
         print(f"Total bytes used: {out.stats.payload_bytes}")
+        print(f"Encoding took {elapsed:.4f} seconds.")
+        print(f"Total time elapsed: {elapsed:.4f} seconds.")
+        # finer-grained phase split: ours only (documented stdout
+        # addition, DESIGN.md divergence table)
         for phase, sec in out.stats.phase_seconds.items():
             print(f"  {phase}: {sec:.4f}s")
-        print(f"Encoding took {elapsed:.4f} seconds.")
     if opts["stats"]:
         # Machine-parseable line, format-compatible with main.c:125.
         print(f"rate, {out.stats.rate:.4f}, distortion, "

@@ -66,17 +66,17 @@ from qvz_tpu.constants import MODE_RATIO
 
 
 def _worker_main(port: int, path: str, lo: int, hi: int, columns: int,
-                 use_jax: bool) -> None:
+                 use_jax: bool, recon_path: str | None = None) -> None:
     """Subprocess entry: connect back to the coordinator and serve."""
     from multiprocessing.connection import Client
 
     authkey = bytes.fromhex(os.environ["QVZ_MH_AUTHKEY"])
     conn = Client(("127.0.0.1", port), authkey=authkey)
-    _host_worker(conn, path, lo, hi, columns, use_jax)
+    _host_worker(conn, path, lo, hi, columns, use_jax, recon_path)
 
 
 def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
-                 use_jax: bool) -> None:
+                 use_jax: bool, recon_path: str | None = None) -> None:
     """One host. Loads only its row range; serves phase requests."""
     # Workers import numpy + the native runtime only (never JAX unless
     # asked): keeps spawn cost low and the control plane simple.
@@ -93,6 +93,19 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
     # local copy, host-resident.
     data = np.ascontiguousarray(rows - PHRED_OFFSET)
     assign = None
+    # -u under --hosts (reference writes the lossy reconstruction in
+    # every encode mode, qv_compressor.c:100-103): each host writes its
+    # reconstruction rows straight into the coordinator-presized text
+    # file — shared-FS memmap, no bulk bytes over the control plane.
+    recon_mm = None
+    if recon_path is not None:
+        recon_mm = np.memmap(recon_path, dtype=np.uint8,
+                             mode="r+").reshape(-1, columns + 1)
+
+    def put_recon(row0: int, recon: np.ndarray) -> None:
+        dst = recon_mm[lo + row0: lo + row0 + len(recon)]
+        dst[:, :columns] = recon + PHRED_OFFSET
+        dst[:, columns] = ord("\n")
 
     while True:
         msg = conn.recv()
@@ -122,10 +135,14 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
             # first), return its payload + the bank snapshot
             blocks, n_clusters, state0, count0, dist = msg[1:]
             tables = rt.tables_from_blocks(blocks, n_clusters, columns)
-            pay, _, dsum, bank = rt.encode_fused_colmajor(
+            out = rt.encode_fused_colmajor(
                 tables, np.ascontiguousarray(data[:count0].T),
                 assign[:count0] if assign is not None else None,
-                state0, dist=dist, want_recon=False, want_bank=True)
+                state0, dist=dist, want_recon=recon_mm is not None,
+                want_bank=True)
+            pay, recon, dsum, bank = out
+            if recon is not None:
+                put_recon(0, recon)
             conn.send((pay, dsum, bank))
         elif cmd == "encode":
             blocks, n_clusters, states, counts, dist, skip0, bank = msg[1:]
@@ -136,17 +153,23 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
 
             def run(s):
                 a, b = offs[s], offs[s + 1]
-                return rt.encode_fused_colmajor(
+                pay, recon, dsum = rt.encode_fused_colmajor(
                     tables, np.ascontiguousarray(data[a:b].T),
                     assign[a:b] if assign is not None else None,
-                    states[s], dist=dist, want_recon=False,
+                    states[s], dist=dist,
+                    want_recon=recon_mm is not None,
                     init_bank=bank)
+                if recon is not None:
+                    put_recon(int(a), recon)
+                return pay, None, dsum
 
             todo = range(skip0, len(counts))
             with ThreadPoolExecutor(
                     max_workers=max(1, min(len(counts) - skip0,
                                            os.cpu_count() or 1))) as ex:
                 results = list(ex.map(run, todo))
+            if recon_mm is not None:
+                recon_mm.base.flush()
             conn.send(([r[0] for r in results],
                        float(sum(r[2] for r in results))))
         elif cmd == "quit":
@@ -250,7 +273,9 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                      n_clusters: int = 1, mode: int = MODE_RATIO,
                      ratio: float = 0.5, cluster_threshold: float = 4.0,
                      well_state=None, dist_matrix=None,
-                     use_jax: bool = False, prime: bool = True):
+                     use_jax: bool = False, prime: bool = True,
+                     recon_path: str | None = None,
+                     verbose: bool = False):
     """Encode a quality file across n_hosts worker processes.
 
     Returns (container bytes, stats dict). The container is
@@ -315,11 +340,18 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    if recon_path is not None:
+        # presize the -u reconstruction file so workers can memmap r+
+        # and write their row ranges in place (qv_compressor.c:100-103
+        # writes it inline; here each host owns its slice)
+        np.memmap(recon_path, dtype=np.uint8, mode="w+",
+                  shape=(n, columns + 1)).flush()
     conns, procs = [], []
     for h, (s0, s1) in enumerate(host_shards):
         code = ("from qvz_tpu.parallel.multihost import _worker_main; "
                 f"_worker_main({port}, {path!r}, {int(offs[s0])}, "
-                f"{int(offs[s1])}, {columns}, {bool(use_jax)})")
+                f"{int(offs[s1])}, {columns}, {bool(use_jax)}, "
+                f"{recon_path!r})")
         p = subprocess.Popen([sys.executable, "-c", code], env=env)
         procs.append(p)                  # conn h <-> host h
         conns.append(_accept_checked(listener, p))
@@ -338,6 +370,8 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                 cnt = min(MAX_LINES_PER_BLOCK,
                           n - block_id * MAX_LINES_PER_BLOCK)
                 line_id = rand.rand() % cnt
+                if verbose:
+                    print(f"Chose block {block_id}, line {line_id}.")
                 seed_idx.append(block_id * MAX_LINES_PER_BLOCK + line_id)
             means = np.empty((n_clusters, columns), dtype=np.int64)
             for j, gidx in enumerate(seed_idx):
@@ -359,9 +393,15 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                 new_means = sums // np.maximum(cnts, 1)[:, None]
                 diff = (new_means - means).astype(np.float64)
                 moved = float((diff * diff).sum(axis=1).max())
+                if verbose:
+                    from qvz_tpu.spec import kmeans as spec_kmeans
+                    spec_kmeans.verbose_iteration(means, new_means)
                 means = new_means
                 if moved <= cluster_threshold:
                     break
+            if verbose:
+                from qvz_tpu.spec import kmeans as spec_kmeans
+                spec_kmeans.verbose_total(iters)
             stats["kmeans_iters"] = iters
         t1 = time.perf_counter()
         stats["cluster_s"] = t1 - t0

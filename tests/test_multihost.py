@@ -84,3 +84,24 @@ def test_multihost_decode_byte_equal(qfile, tmp_path, n_hosts):
     nl = decode_multihost(str(cpath), str(opath), n_hosts=n_hosts)
     assert nl == data.shape[0]
     assert opath.read_bytes() == single.tobytes()
+
+
+def test_multihost_recon_file(qfile, tmp_path):
+    """-u under --hosts (VERDICT r3 missing item 4): the multi-host
+    reconstruction side-file must byte-equal the single-process one
+    (reference writes it in every encode mode, qv_compressor.c:100-103;
+    here workers memmap-write their row ranges)."""
+    from qvz_tpu.spec.pipeline import lines_to_bytes
+
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    single = enc_mod.encode(data, dist, n_clusters=2, ratio=0.5,
+                            well_state=WellState.debug(), use_jax=False,
+                            shards=5, want_recon=True)
+    rpath = tmp_path / "mh.recon"
+    multi, _ = encode_multihost(
+        path, n_hosts=3, shards=5, n_clusters=2, ratio=0.5,
+        well_state=WellState.debug(), dist_matrix=dist,
+        recon_path=str(rpath))
+    assert multi == single.compressed
+    assert rpath.read_bytes() == lines_to_bytes(single.reconstructed)
