@@ -169,9 +169,14 @@ def main() -> None:
         # reconstruction, independently decodable parallel streams.
         # Best-of-2 to damp noisy-neighbor variance on shared hosts (the
         # reference gets the same treatment below).
+        enc_samples, dec_samples = [], []
         t_enc, t_dec, s_stats = run_mode(0)
+        enc_samples.append(round(t_enc, 3))
+        dec_samples.append(round(t_dec, 3))
         for _ in range(2):
             e2, d2, _ = run_mode(0)
+            enc_samples.append(round(e2, 3))
+            dec_samples.append(round(d2, 3))
             t_enc, t_dec = min(t_enc, e2), min(t_dec, d2)
         ours = {"rate": s_stats.rate, "distortion": s_stats.distortion}
         log(f"ours/sharded: encode {t_enc:.2f}s decode {t_dec:.2f}s "
@@ -493,6 +498,26 @@ def main() -> None:
             except ValueError:
                 pass
 
+        # fold in the round's on-chip perf sweep (scripts/onchip_perf.py
+        # appends parity-asserted Msym/s + roofline legs incrementally;
+        # VERDICT r3 next items 2/3/6) so the round record carries the
+        # measured kernel rates even if the tunnel dies before the
+        # bench's own device legs run
+        sweep_p = REPO / "build" / "onchip_perf.json"
+        if sweep_p.exists():
+            try:
+                sweep = json.loads(sweep_p.read_text())
+                telemetry["onchip_sweep"] = {
+                    t: {k: leg[k] for k in
+                        ("scan_Msym_s", "Msym_s", "batch", "shards",
+                         "wall_s", "roofline") if k in leg}
+                    for t, leg in sweep.get("legs", {}).items()}
+                if "best_batch_W512" in sweep:
+                    telemetry["onchip_best_batch"] = (
+                        sweep["best_batch_W512"])
+            except ValueError:
+                pass
+
         # --- device-engaging PRODUCTION leg (VERDICT r1 item 1): the
         # same sharded QVZ2 encode with the batched quantize scan forced
         # onto the accelerator (QVZ_TPU_DEVICE_MIN_BYTES=0). Honest
@@ -694,6 +719,12 @@ def main() -> None:
 
         value = 2 * mb / (t_enc + t_dec)
         base = 2 * mb / (rt_enc + rt_dec)
+        # Shared-host noise diagnostics (VERDICT r3 weak 2: nothing in
+        # the round record could distinguish a real regression from a
+        # noisy neighbor): the raw best-of-3 samples + 1/5/15-min load.
+        telemetry["sharded_enc_samples_s"] = enc_samples
+        telemetry["sharded_dec_samples_s"] = dec_samples
+        telemetry["loadavg"] = [round(x, 2) for x in os.getloadavg()]
         print(json.dumps({
             "metric": "e2e quality-score encode+decode throughput, "
                       "sharded production mode "

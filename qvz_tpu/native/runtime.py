@@ -195,11 +195,12 @@ def encode_lines(tables: Tables, cluster_ids, model_ids: np.ndarray,
 
 
 def kmeans_host(data: np.ndarray, n_clusters: int, threshold: float,
-                rand=None):
+                rand=None, verbose: bool = False):
     """Reference-exact k-means on host threads; API-compatible with
     ops.kmeans.kmeans_cluster (integer distances/means, first-min,
     max-squared-movement stop vs threshold, cluster.c:212-243)."""
     from qvz_tpu.constants import MAX_KMEANS_ITERATIONS
+    from qvz_tpu.spec import kmeans as spec_kmeans
     from qvz_tpu.spec.kmeans import seed_centroids
 
     lib = native.load()
@@ -207,7 +208,8 @@ def kmeans_host(data: np.ndarray, n_clusters: int, threshold: float,
     if n_clusters == 1:
         return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
     data = np.ascontiguousarray(data, dtype=np.uint8)
-    means = seed_centroids(data, n_clusters, rand).astype(np.int64)
+    means = seed_centroids(data, n_clusters, rand,
+                           verbose=verbose).astype(np.int64)
     assign = np.empty(n, dtype=np.uint8)
     sums = np.empty((n_clusters, cols), dtype=np.int64)
     counts = np.empty(n_clusters, dtype=np.int64)
@@ -222,9 +224,13 @@ def kmeans_host(data: np.ndarray, n_clusters: int, threshold: float,
         new_means = sums // np.maximum(counts, 1)[:, None]
         diff = (new_means - means).astype(np.float64)
         moved = float((diff * diff).sum(axis=1).max())
+        if verbose:
+            spec_kmeans.verbose_iteration(means, new_means)
         means = new_means
         if moved <= threshold:
             break
+    if verbose:
+        spec_kmeans.verbose_total(iters)
     return assign, means.astype(np.uint8), iters
 
 

@@ -59,13 +59,17 @@ def _use_pallas() -> bool:
 
 
 def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
-                   rand: GlibcRand | None = None):
+                   rand: GlibcRand | None = None,
+                   verbose: bool = False):
     """Reference-exact k-means; returns (assignments u8, means, iters)."""
+    from qvz_tpu.spec import kmeans as spec_kmeans
+
     n, cols = data.shape
     if n_clusters == 1:
         return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
 
-    means_np = seed_centroids(data, n_clusters, rand).astype(np.int64)
+    means_np = seed_centroids(data, n_clusters, rand,
+                              verbose=verbose).astype(np.int64)
 
     if _use_pallas():
         from qvz_tpu.ops import pallas_kernels as pk
@@ -84,9 +88,13 @@ def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
             new_means = s // np.maximum(c, 1)[:, None]
             diff = (new_means - means_np).astype(np.float64)
             moved = float((diff * diff).sum(axis=1).max())
+            if verbose:
+                spec_kmeans.verbose_iteration(means_np, new_means)
             means_np = new_means
             if moved <= threshold:
                 break
+        if verbose:
+            spec_kmeans.verbose_total(iters)
         return (np.asarray(assign, dtype=np.uint8)[:n],
                 means_np.astype(np.uint8), iters)
 
@@ -95,9 +103,15 @@ def kmeans_cluster(data: np.ndarray, n_clusters: int, threshold: float,
     iters = 0
     assign = None
     while iters < MAX_KMEANS_ITERATIONS:
+        prev = np.asarray(means, dtype=np.int64) if verbose else None
         assign, means, moved = _kmeans_step(data_u8, means, n_clusters)
         iters += 1
+        if verbose:
+            spec_kmeans.verbose_iteration(
+                prev, np.asarray(means, dtype=np.int64))
         if float(moved) <= threshold:
             break
+    if verbose:
+        spec_kmeans.verbose_total(iters)
     return (np.asarray(assign, dtype=np.uint8),
             np.asarray(means, dtype=np.uint8), iters)

@@ -172,17 +172,20 @@ def pad_reads(arr: np.ndarray, n_shards: int, axis: int = 0):
 
 
 def kmeans_cluster_sharded(mesh, data: np.ndarray, n_clusters: int,
-                           threshold: float, rand=None):
+                           threshold: float, rand=None,
+                           verbose: bool = False):
     """Mesh data-parallel k-means; bit-identical to the 1-device path
     (integer psum accumulators, integer-division means). API-compatible
     with ops.kmeans.kmeans_cluster."""
     from qvz_tpu.constants import MAX_KMEANS_ITERATIONS
+    from qvz_tpu.spec import kmeans as spec_kmeans
     from qvz_tpu.spec.kmeans import seed_centroids
 
     n, cols = data.shape
     if n_clusters == 1:
         return np.zeros(n, dtype=np.uint8), data[:1].copy(), 0
-    means = seed_centroids(data, n_clusters, rand).astype(np.int64)
+    means = seed_centroids(data, n_clusters, rand,
+                           verbose=verbose).astype(np.int64)
     dpad, valid = pad_reads(data, mesh.devices.size)
     step = make_sharded_kmeans_step(mesh, n_clusters)
     dt = jnp.asarray(dpad.T, dtype=jnp.int32)
@@ -193,9 +196,14 @@ def kmeans_cluster_sharded(mesh, data: np.ndarray, n_clusters: int,
         assign, new_means, moved = step(
             dt, jnp.asarray(means, dtype=jnp.int32), v)
         iters += 1
-        means = np.asarray(new_means, dtype=np.int64)
+        new_np = np.asarray(new_means, dtype=np.int64)
+        if verbose:
+            spec_kmeans.verbose_iteration(means, new_np)
+        means = new_np
         if float(moved) <= threshold:
             break
+    if verbose:
+        spec_kmeans.verbose_total(iters)
     return (np.asarray(assign, dtype=np.uint8)[:n],
             means.astype(np.uint8), iters)
 

@@ -183,21 +183,24 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     elif mesh is not None:
         from qvz_tpu.parallel import sharded
         cluster_arr, _, _ = sharded.kmeans_cluster_sharded(
-            mesh, data, n_clusters, cluster_threshold)
+            mesh, data, n_clusters, cluster_threshold, verbose=verbose)
         clusters = cluster_arr
     elif use_jax:
         from qvz_tpu.ops import kmeans as jx_kmeans
         cluster_arr, _, _ = jx_kmeans.kmeans_cluster(
-            data, n_clusters, cluster_threshold)
+            data, n_clusters, cluster_threshold, verbose=verbose)
         clusters = cluster_arr
     else:
         cluster_arr, _, _ = rt.kmeans_host(
-            data, n_clusters, cluster_threshold)
+            data, n_clusters, cluster_threshold, verbose=verbose)
         clusters = cluster_arr
     t1 = time.perf_counter()
     stats.phase_seconds["cluster"] = t1 - t0
     if n_clusters > 1 and (mesh is not None or use_jax):
         stats.device_seconds["cluster"] = t1 - t0
+    if verbose:
+        # reference phase print, main.c:56-58 (same %.4f format)
+        print(f"Clustering took {t1 - t0:.4f} seconds")
 
     # --- checkpoint reuse: skip stats + design entirely ---------------------
     if reuse_blocks is not None:
@@ -236,6 +239,11 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
     tables = design.tables()
     t3 = time.perf_counter()
     stats.phase_seconds["design"] = t3 - t2
+    if verbose:
+        # reference combines stats + codebook generation in one timer
+        # (main.c:61-67)
+        print(f"Stats and codebook generation took {t3 - t1:.4f} "
+              "seconds")
 
     return _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks,
                           tables, n, columns, n_clusters, shards,

@@ -93,7 +93,8 @@ def encode_streaming(input_path: str, output_path: str, *,
                      chunk_lines: int = 1_000_000,
                      prime: bool = True,
                      reuse_blocks: bytes | None = None,
-                     recon_path: str | None = None) -> dict:
+                     recon_path: str | None = None,
+                     verbose: bool = False) -> dict:
     """Encode a quality file to a QVZ2 container with bounded memory.
 
     Returns a stats dict (rate, distortion, payload_bytes, phase
@@ -141,6 +142,8 @@ def encode_streaming(input_path: str, output_path: str, *,
             block_id = rand.rand() % block_count
             cnt = min(MAX_LINES_PER_BLOCK, n - block_id * MAX_LINES_PER_BLOCK)
             line_id = rand.rand() % cnt
+            if verbose:
+                print(f"Chose block {block_id}, line {line_id}.")
             gidx = block_id * MAX_LINES_PER_BLOCK + line_id
             means[j] = _rows(mm, columns, gidx, gidx + 1)[0]
         assign = np.empty(n, dtype=np.uint8)
@@ -159,9 +162,15 @@ def encode_streaming(input_path: str, output_path: str, *,
             new_means = sums // np.maximum(cnts, 1)[:, None]
             diff = (new_means - means).astype(np.float64)
             moved = float((diff * diff).sum(axis=1).max())
+            if verbose:
+                from qvz_tpu.spec import kmeans as spec_kmeans
+                spec_kmeans.verbose_iteration(means, new_means)
             means = new_means
             if moved <= cluster_threshold:
                 break
+        if verbose:
+            from qvz_tpu.spec import kmeans as spec_kmeans
+            spec_kmeans.verbose_total(iters)
         stats["kmeans_iters"] = iters
     t1 = time.perf_counter()
     stats["cluster_s"] = t1 - t0
