@@ -66,7 +66,9 @@ def usage(name: str) -> None:
     print("                  overhead vs v1 instead of ~0.7%)")
     print("   --streaming  : Bounded-memory encode (chunked stats, shard-wave")
     print("                  coding, streamed container writes; auto above")
-    print("                  QVZ_TPU_STREAM_MIN_BYTES, default 1 GiB)")
+    print("                  QVZ_TPU_STREAM_MIN_BYTES, default 1 GiB;")
+    print("                  composes with --hosts N: workers stream their")
+    print("                  row ranges, container assembles straight to disk)")
     print(" Env knobs: QVZ_TPU_DEVICE_MIN_BYTES (auto device dispatch size),")
     print("   QVZ_TPU_DEVICE_CODER / QVZ_TPU_CODER_PALLAS / QVZ_TPU_CODER_BATCH")
     print("   (device entropy encoder), QVZ_TPU_DEVICE_DECODE /")
@@ -333,9 +335,13 @@ def _run(opts, extract, input_name, output_name) -> int:
     if opts.get("hosts", 1) > 1:
         # Multi-host driver: N worker processes over contiguous read
         # ranges, container byte-identical to the 1-process encode.
+        # --streaming (or auto-streaming above the size threshold)
+        # composes: workers stream their row ranges and the container
+        # assembles straight to disk (bounded RSS at any corpus size).
         if opts.get("reuse_books"):
             raise ValueError("--hosts does not support --reuse-books")
         from qvz_tpu.parallel.multihost import encode_multihost
+        mh_streaming = bool(opts.get("streaming") or auto_stream)
         compressed, mh = encode_multihost(
             input_name, n_hosts=opts["hosts"],
             shards=opts["shards"] if opts["shards"] != 1 else 0,
@@ -345,9 +351,12 @@ def _run(opts, extract, input_name, output_name) -> int:
             well_state=_make_well(opts), dist_matrix=dist,
             use_jax=opts["use_jax"] is True, prime=opts["prime"],
             recon_path=opts.get("uncompressed"),
-            verbose=opts["verbose"])
-        with open(output_name, "wb") as f:
-            f.write(compressed)
+            verbose=opts["verbose"],
+            streaming=mh_streaming,
+            output_path=output_name if mh_streaming else None)
+        if compressed is not None:
+            with open(output_name, "wb") as f:
+                f.write(compressed)
         elapsed = time.perf_counter() - t0
         if opts["verbose"]:
             print(f"Multi-host encode: {mh['hosts']} hosts, "
