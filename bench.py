@@ -467,23 +467,24 @@ def main() -> None:
             util["coder_pass2"] = rl.utilization(
                 rl.coder_pass2_bytes(39063, 256),
                 telemetry["coder_pass2_ms"] / 1e3, peaks)
-        if "coder_fused_ms" in telemetry:
-            util["coder_fused"] = rl.utilization(
-                rl.coder_fused_bytes(39063, 256, 64),
-                telemetry["coder_fused_ms"] / 1e3, peaks)
-        if "coder_mosaic_ms" in telemetry:
-            util["coder_mosaic"] = rl.utilization(
-                rl.coder_fused_bytes(39063, 256, 64),
-                telemetry["coder_mosaic_ms"] / 1e3, peaks)
-        if "coder_mosaic_b8_ms" in telemetry:
-            util["coder_mosaic_b8"] = rl.utilization(
-                rl.coder_fused_bytes(39063, 256, 64),
-                telemetry["coder_mosaic_b8_ms"] / 1e3, peaks)
+        # fused coder kernels: HBM/VMEM/VPU split (round-3's model
+        # charged the VMEM-resident counts table as HBM traffic and
+        # printed >100% of HBM peak; the kernel is VPU-issue-bound)
+        for key, bstep in (("coder_fused", 1), ("coder_mosaic", 4),
+                           ("coder_mosaic_b8", 8)):
+            if f"{key}_ms" in telemetry:
+                util[key] = rl.fused_utilization(
+                    *rl.coder_fused_traffic(39063, 256, 64, bstep),
+                    rl.coder_fused_int_ops(39063, 256, 64, bstep),
+                    telemetry[f"{key}_ms"] / 1e3, peaks)
         if util:
             telemetry["utilization"] = util
             log(f"utilization vs {peaks.name} peaks: "
-                + " ".join(f"{k}={v['pct_hbm_peak']}%HBM"
-                           for k, v in util.items()))
+                + " ".join(
+                    f"{k}={v['pct_hbm_peak']}%HBM"
+                    + (f"/{v['pct_vpu_est']}%VPUest"
+                       if "pct_vpu_est" in v else "")
+                    for k, v in util.items()))
 
         # fold in the on-chip-gate ran/stalled tally (tests append to
         # build/onchip_tally.json; VERDICT r2 weak item 4)

@@ -25,10 +25,16 @@ class ChipPeaks:
     hbm_gbps: float        # HBM bandwidth, GB/s
     bf16_tflops: float     # dense bf16 MXU peak, TFLOP/s
     int8_tops: float       # dense int8 peak, TOP/s
+    # VPU integer-issue ceiling, Top/s. NOT a published spec: an
+    # order-of-magnitude architectural estimate (vector lanes x ALUs
+    # per lane x ~1 GHz clock, (8,128) lanes x 4 ALUs ~= 4.1e12/s per
+    # core) used only to place VPU-bound kernels on a roofline. Keep
+    # the label "est" wherever this is reported.
+    vpu_int_tops_est: float = 4.1
 
 
 _PEAKS = {
-    # public spec-sheet numbers per chip
+    # public spec-sheet numbers per chip (hbm/bf16/int8)
     "TPU v5e": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
     "TPU v5 lite": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
     "TPU v5p": ChipPeaks("TPU v5p", 2765.0, 459.0, 918.0),
@@ -43,7 +49,7 @@ def peaks_for(device_kind: str) -> ChipPeaks:
             return p
     # CPU-backend / unknown: report against a nominal 100 GB/s so the
     # ratio is still meaningful as a relative number, clearly labeled.
-    return ChipPeaks(f"unknown({device_kind})", 100.0, 1.0, 1.0)
+    return ChipPeaks(f"unknown({device_kind})", 100.0, 1.0, 1.0, 0.1)
 
 
 def utilization(bytes_moved: int, seconds: float, peaks: ChipPeaks,
@@ -99,29 +105,80 @@ def coder_pass2_bytes(steps: int, lanes: int) -> int:
     return 4 * (3 + 2) * steps * lanes + 2 * steps * lanes
 
 
-def coder_fused_bytes(steps: int, lanes: int, slots: int) -> int:
-    # The fused scan's dominant traffic is the carried occurrence-count
-    # table: per step it is read by three masked range-sums and written
-    # back once (VMEM-resident; this model treats it as the kernel's
-    # working traffic), plus the per-step slot/triple input streams.
-    return steps * lanes * (4 * slots * 4 + 10 * 4)
+def coder_fused_traffic(steps: int, lanes: int, slots: int,
+                        bstep: int = 1) -> tuple[int, int]:
+    """(hbm_bytes, vmem_bytes) for the fused coder kernel (v2).
+
+    HBM side: the per-step input streams (mid, qs i32 reads) and
+    output streams (w0, w1, fl i32 writes) — 5 words per step-lane —
+    plus a per-column table DMA (negligible, omitted).
+
+    VMEM side: the (slots, lanes) i32 combo counts table is swept by
+    ONE read pass and ONE write pass per batch of `bstep` steps — all
+    three masked range-sums of every step in a batch share the single
+    chunk read (coder_pallas._kernel2's chunk loop), and the eq-update
+    write-back is batched the same way. Round-3's model charged four
+    passes per STEP, which overcounted by ~2*bstep and produced
+    pct_hbm_peak > 100% in BENCH telemetry — the table never touches
+    HBM at all.
+    """
+    hbm = 5 * 4 * steps * lanes
+    vmem = 2 * slots * 4 * lanes * (steps // max(bstep, 1))
+    return hbm, vmem
 
 
-def decoder_fused_bytes(steps: int, lanes: int, slots: int,
-                        bisect: int = 2, p_pad: int = 128,
-                        window_words: int = 256) -> int:
-    # The decode kernel's per-step working traffic: the combo counts
-    # table swept by (1 owner pass + `bisect` bisection passes + 1
-    # eq pass with a write-back), the ctx table pass over p_pad, the
-    # symbol table inside the eq pass, and the payload-window refill
-    # sweep (cursor-window bounded; pass the full PW when the window
-    # is disabled).
+def coder_fused_int_ops(steps: int, lanes: int, slots: int,
+                        bstep: int = 1) -> int:
+    # Per chunk element per step the kernel issues ~15 VPU integer ops
+    # (key delta + 3 mask compares/ands + 3 multiply-accumulate range
+    # sums + eq-update) plus one write-back add per batch; this is the
+    # kernel's true binding resource (see fused_utilization).
+    return steps * lanes * slots * 15 + (steps // max(bstep, 1)) * (
+        lanes * slots)
+
+
+def fused_utilization(hbm_bytes: int, vmem_bytes: int, int_ops: int,
+                      seconds: float, peaks: ChipPeaks) -> dict:
+    """Roofline placement for a VMEM-resident fused kernel.
+
+    Reports the true HBM-stream utilization (tiny by design — the
+    whole point of fusing), the VMEM working-set sweep rate, and the
+    achieved integer-issue rate vs the architectural VPU estimate.
+    The largest of the two pct figures names the binding resource."""
+    if seconds <= 0:
+        return {"chip": peaks.name}
+    hbm_gbs = hbm_bytes / seconds / 1e9
+    vmem_gbs = vmem_bytes / seconds / 1e9
+    tops = int_ops / seconds / 1e12
+    return {
+        "hbm_GB_s": round(hbm_gbs, 2),
+        "pct_hbm_peak": round(100.0 * hbm_gbs / peaks.hbm_gbps, 2),
+        "vmem_sweep_GB_s": round(vmem_gbs, 2),
+        "int_Top_s": round(tops, 3),
+        "pct_vpu_est": round(100.0 * tops / peaks.vpu_int_tops_est, 1),
+        "chip": peaks.name,
+    }
+
+
+def decoder_fused_traffic(steps: int, lanes: int, slots: int,
+                          bisect: int = 2, p_pad: int = 128,
+                          window_words: int = 256) -> tuple[int, int]:
+    # (hbm_bytes, vmem_bytes) for the decode kernel. VMEM side, per
+    # step per lane: the combo counts table swept by (1 owner pass +
+    # `bisect` bisection passes + 1 eq pass with a write-back), the
+    # ctx table pass over p_pad, the symbol table inside the eq pass,
+    # and the payload-window refill sweep (cursor-window bounded; pass
+    # the full PW when the window is disabled). HBM side: the decoded
+    # symbol writes (1 i32 per step-lane). Unlike the encoder there is
+    # no per-step batching — each symbol's bisection depends on the
+    # previous one — which is why its measured rate sits ~50x below
+    # the coder's (ROADMAP: kernel demoted to experiment).
     per_lane = ((2 + bisect) * slots * 4    # counts reads
                 + slots * 4                 # counts write-back
                 + slots * 4                 # symw in the eq pass
                 + 2 * p_pad * 4             # pta/ptb ctx pass
                 + window_words * 4)         # payload refill window
-    return steps * lanes * per_lane
+    return 4 * steps * lanes, steps * lanes * per_lane
 
 
 def coder_pass1_bytes(cols: int, lanes: int, lane_len: int,

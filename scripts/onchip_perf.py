@@ -8,8 +8,10 @@ every leg so each measurement is also a vouching run. Results append
 incrementally to build/onchip_perf.json (a tunnel stall mid-sweep keeps
 everything measured so far).
 
-Every leg reports Msym/s plus pct_hbm_peak from utils/roofline.py's
-explicit-traffic models (VERDICT r3 next item 2/3). Reference scope:
+Every leg reports Msym/s plus a roofline placement from
+utils/roofline.py's split traffic model — true HBM streams vs the
+VMEM-resident counts-table sweep vs VPU integer issue (VERDICT r3
+next item 2/3; the kernel is VPU-issue-bound, see SCALING.md round 4). Reference scope:
 the arithmetic coder hot loop arith.c:24-205, restructured per
 BASELINE.json's north star.
 """
@@ -115,9 +117,12 @@ def main():
         leg["S_slots"] = S
         if scan:
             L = -(-n // shards)
-            bytes_moved = roofline.coder_fused_bytes(cols * L, shards, S)
-            leg["roofline"] = roofline.utilization(bytes_moved, scan,
-                                                   peaks)
+            hbm_b, vmem_b = roofline.coder_fused_traffic(
+                cols * L, shards, S, batch)
+            leg["roofline"] = roofline.fused_utilization(
+                hbm_b, vmem_b,
+                roofline.coder_fused_int_ops(cols * L, shards, S, batch),
+                scan, peaks)
         results["legs"][tag] = leg
         save()
         print(tag, json.dumps(leg), flush=True)
