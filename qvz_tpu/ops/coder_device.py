@@ -422,6 +422,78 @@ def _fused_scan(xs, W, S, unroll=1):
     return carry, ys
 
 
+def _lane_mult(mesh) -> int:
+    """Lane-axis padding multiple: per-device lane count must stay a
+    multiple of 8 (the kernels' W8 sublane tiling)."""
+    return 8 * (mesh.devices.size if mesh is not None else 1)
+
+
+def _mesh_lane_scan(xs, W, S, unroll, mesh):
+    """_fused_scan sharded over the lane axis of an n-device mesh.
+
+    Lanes are independent adaptive streams — each carries its own
+    interval registers and occurrence-count table — so every device
+    scans its own lane subset with NO collectives, and the global
+    result is bit-identical to the unsharded scan (asserted at
+    realistic geometry in __graft_entry__.dryrun_multichip)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qvz_tpu.parallel.mesh import READS_AXIS
+
+    wd = W // mesh.devices.size
+    lane = P(None, READS_AXIS)
+    fn = shard_map(
+        lambda *xs_d: _fused_scan(xs_d, wd, S, unroll=unroll),
+        mesh=mesh,
+        in_specs=(lane,) * 9 + (P(None),),
+        out_specs=((P(READS_AXIS),) * 6 + (P(READS_AXIS, None),),
+                   (lane,) * 4),
+        check_vma=False)
+    return jax.jit(fn)(*xs)
+
+
+def _mesh_lane_kernel(streams, tabs, W, S, L, interp, bstep, mesh):
+    """fused_scan_tables (the Mosaic kernel) sharded over the lane
+    axis: per-device lane groups run the identical kernel body with
+    replicated plan tables and no collectives."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qvz_tpu.ops import coder_pallas
+    from qvz_tpu.parallel.mesh import READS_AXIS
+
+    wd = W // mesh.devices.size
+    wg = coder_pallas.lane_group(wd, S, bstep)
+
+    def body(mid_s, qs_s, etl, eth, etn, reset):
+        sg = (mid_s, qs_s, etl, eth, etn, reset)
+        if wg >= wd:
+            return coder_pallas.fused_scan_tables(
+                sg, tabs, wd, S, L, interpret=interp, bstep=bstep)
+        parts = []
+        for g0 in range(0, wd, wg):
+            g1 = min(wd, g0 + wg)
+            pg = tuple(a[:, g0:g1]
+                       for a in (mid_s, qs_s, etl, eth, etn))
+            parts.append(coder_pallas.fused_scan_tables(
+                pg + (reset,), tabs, g1 - g0, S, L,
+                interpret=interp, bstep=bstep))
+        carry = tuple(jnp.concatenate([p[0][k] for p in parts])
+                      for k in range(6))
+        ys = tuple(jnp.concatenate([p[1][k] for p in parts], axis=1)
+                   for k in range(4))
+        return carry, ys
+
+    lane = P(None, READS_AXIS)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(lane,) * 5 + (P(None),),
+        out_specs=((P(READS_AXIS),) * 6, (lane,) * 4),
+        check_vma=False)
+    return jax.jit(fn)(*streams)
+
+
 # --------------------------------------------------------------------------
 # Compaction: flagged words -> dense per-lane word streams.
 
@@ -486,7 +558,7 @@ def _bucket(n: int) -> int:
 
 def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
                  cluster_triples: np.ndarray | None,
-                 timings: dict | None = None):
+                 timings: dict | None = None, mesh=None):
     """Code W equal-length lanes.
 
     mid_lanes/qs_lanes: (cols, W, L) int32 (device or host arrays);
@@ -498,13 +570,18 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
     (precompute / scan / compact_fetch / assemble) — the fences force
     materialization, so only pass it for diagnostics.
 
+    mesh: optional jax.sharding.Mesh — the scan/kernel shards over the
+    lane axis (independent streams, no collectives), bit-identical to
+    the unsharded form.
+
     Returns (payloads, flags): payloads is a list of W byte strings
     (entries for flagged lanes are None — the caller must host-code
     those shards), flags the per-lane fallback mask."""
     t_seg = time.perf_counter()
     cols, W, L = mid_lanes.shape
     Lb = _bucket(L)
-    Wb = -(-W // 8) * 8
+    mult = _lane_mult(mesh)
+    Wb = -(-W // mult) * mult
     if Lb != L or Wb != W:
         pw, pl = Wb - W, Lb - L
         mid_lanes = jnp.pad(jnp.asarray(mid_lanes),
@@ -534,12 +611,13 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
     # 52M symbols on a v5e). "interpret" forces the kernel through the
     # Pallas interpreter on any backend (CPU equivalence tests).
     from qvz_tpu.ops import coder_pallas
+    n_dev = mesh.devices.size if mesh is not None else 1
     pallas_flag = os.environ.get("QVZ_TPU_CODER_PALLAS", "1")
     use_pallas = (pallas_flag != "0"
                   and (jax.default_backend() != "cpu"
                        or pallas_flag == "interpret")
                   and L <= 2047
-                  and coder_pallas.lane_group(W, S) > 0)
+                  and coder_pallas.lane_group(W // n_dev, S) > 0)
     if use_pallas:
         mid_s = seg(jnp.asarray(mid_lanes, _I32))
         qs_s = seg(jnp.asarray(qs_lanes, _I32))
@@ -565,7 +643,11 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
         interp = pallas_flag == "interpret"
         bstep = coder_pallas.batch_steps()
         wg = coder_pallas.lane_group(W, S)
-        if wg >= W:
+        if mesh is not None:
+            carry, (w0, w1, f0, f1) = _mesh_lane_kernel(
+                (mid_s, qs_s, etl, eth, etn, reset), tabs, W, S, L,
+                interp, bstep, mesh)
+        elif wg >= W:
             carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_tables(
                 (mid_s, qs_s, etl, eth, etn, reset), tabs, W, S, L,
                 interpret=interp, bstep=bstep)
@@ -627,7 +709,12 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
             t_seg = time.perf_counter()
         xs = (slot, sb, sbc, base_lo, init_at, ninit, etl, eth, etn,
               reset)
-        carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S, unroll=unroll)
+        if mesh is not None:
+            carry, (w0, w1, f0, f1) = _mesh_lane_scan(
+                xs, W, S, unroll, mesh)
+        else:
+            carry, (w0, w1, f0, f1) = _fused_scan(xs, W, S,
+                                                  unroll=unroll)
     return _finish_lanes(carry, (w0, w1, f0, f1), W_real, timings,
                          t_seg)
 
@@ -669,26 +756,29 @@ def _build_streams(md, qd, ct, cols, W, L, Wb, Lb, base, padn, with_ct):
 
 def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
                      cluster_triples: np.ndarray | None,
-                     timings: dict | None = None):
+                     timings: dict | None = None, mesh=None):
     """encode_lanes from the RAW (cols, N) quantize outputs: the lane
     slicing/padding/bucketing and stream assembly run inside one jitted
     computation feeding the Mosaic kernel directly. Falls back to the
-    materialized encode_lanes when the kernel path is unavailable."""
+    materialized encode_lanes when the kernel path is unavailable.
+    mesh: shard the kernel/scan over the lane axis (see encode_lanes)."""
     t_seg = time.perf_counter()
     cols = md.shape[0]
     W = len(lane_counts)
     L = int(lane_counts[0])
     Lb = _bucket(L)
-    Wb = -(-W // 8) * 8
+    mult = _lane_mult(mesh)
+    Wb = -(-W // mult) * mult
     S = plan.S
 
     from qvz_tpu.ops import coder_pallas
+    n_dev = mesh.devices.size if mesh is not None else 1
     pallas_flag = os.environ.get("QVZ_TPU_CODER_PALLAS", "1")
     use_pallas = (pallas_flag != "0"
                   and (jax.default_backend() != "cpu"
                        or pallas_flag == "interpret")
                   and Lb <= 2047
-                  and coder_pallas.lane_group(Wb, S) > 0)
+                  and coder_pallas.lane_group(Wb // n_dev, S) > 0)
     if not use_pallas:
         def lanes_of(x):
             r = x[:, base:]
@@ -701,7 +791,7 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
         for w in range(W):
             valid[w, : int(lane_counts[w])] = True
         return encode_lanes(plan, lanes_of(md), lanes_of(qd), valid,
-                            cluster_triples, timings=timings)
+                            cluster_triples, timings=timings, mesh=mesh)
 
     padn = W * L - (int(np.sum(lane_counts)))
     with_ct = cluster_triples is not None
@@ -725,7 +815,10 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
     interp = pallas_flag == "interpret"
     bstep = coder_pallas.batch_steps()
     wg = coder_pallas.lane_group(Wb, S)
-    if wg >= Wb:
+    if mesh is not None:
+        carry, ys = _mesh_lane_kernel(streams, tabs, Wb, S, Lb,
+                                      interp, bstep, mesh)
+    elif wg >= Wb:
         carry, ys = coder_pallas.fused_scan_tables(
             streams, tabs, Wb, S, Lb, interpret=interp, bstep=bstep)
     else:

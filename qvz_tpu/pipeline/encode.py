@@ -155,7 +155,7 @@ def encode(data: np.ndarray, dist_matrix: np.ndarray, *,
         # lanes 280 Msym/s pass-2). Priming keeps the per-shard rate
         # cost ~zero, so lanes are nearly free; floor of 256 lines per
         # lane bounds padding + per-lane flush overhead.
-        if use_jax and mesh is None and _device_coder_enabled():
+        if use_jax and _device_coder_enabled():
             # lane-run cap 2047 (Mosaic combo-table occurrence field):
             # lift the lane count for big inputs instead of shrinking
             # runs below the priming-efficient range
@@ -276,7 +276,7 @@ def _shard_draws(states: np.ndarray, counts, columns: int) -> np.ndarray:
 def _device_coder_encode(tables, data, clusters, cluster_arr, states,
                          counts, offs, columns, n_clusters, dist_matrix,
                          prime_on, want_recon, stats, draws,
-                         data_dev=None):
+                         data_dev=None, mesh=None):
     """Quantize + entropy-code the QVZ2 shards on the accelerator.
 
     The warmup shard (priming source) is coded on host — it is the one
@@ -284,17 +284,28 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
     other shard becomes one device lane; lanes the exactness checks
     flag (a rescaling column model, an oversize emission — both rare at
     device shard sizes) are re-coded on host from the device streams,
-    so the container is byte-identical to the host path always."""
+    so the container is byte-identical to the host path always.
+
+    mesh: both the quantize map AND the lane coder shard over the
+    device mesh (lane axis, no collectives) — the full multi-chip
+    encode path; containers stay byte-identical to the host path."""
     import jax.numpy as jnp
 
     from qvz_tpu.ops import coder_device
     from qvz_tpu.ops import quantize as jx_quant
 
     t0 = time.perf_counter()
-    md, qd, qvd, data_t_dev = jx_quant.quantize_t_device(
-        tables, data_dev if data_dev is not None else data,
-        cluster_arr if clusters is not None else None, draws)
-    md.block_until_ready()
+    if mesh is not None:
+        from qvz_tpu.parallel import sharded
+        md, qd, qv_host = sharded.quantize_sharded_t(
+            mesh, tables, data,
+            cluster_arr if clusters is not None else None, draws)
+        qvd = data_t_dev = None
+    else:
+        md, qd, qvd, data_t_dev = jx_quant.quantize_t_device(
+            tables, data_dev if data_dev is not None else data,
+            cluster_arr if clusters is not None else None, draws)
+        md.block_until_ready()
     t1 = time.perf_counter()
     stats.phase_seconds["quantize"] = t1 - t0
     stats.device_seconds["quantize"] = t1 - t0
@@ -346,7 +357,7 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
 
     tim = {} if os.environ.get("QVZ_TPU_CODER_TIMINGS") else None
     lane_pays, flags = coder_device.encode_lanes_raw(
-        plan, md, qd, lane_counts, base, ctrip, timings=tim)
+        plan, md, qd, lane_counts, base, ctrip, timings=tim, mesh=mesh)
     if tim:
         for k, v in tim.items():
             stats.phase_seconds[f"device_code/{k}"] = v
@@ -371,7 +382,13 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
             clusters[lo:hi] if clusters is not None else None,
             hi - lo, init_bank=bank)
 
-    if want_recon:
+    if mesh is not None:
+        # mesh quantize returned host (cols, N) u8 reconstruction
+        recon = qv_host.T.copy() if want_recon else None
+        dist_sum = float(
+            dist_matrix[data.reshape(-1), qv_host.T.reshape(-1)].sum()
+        ) / columns
+    elif want_recon:
         # cast on device: the d2h fetch is 1 B/symbol, not 4
         recon = np.asarray(qvd.astype(jnp.uint8)).T.copy()
         dist_sum = float(
@@ -429,14 +446,14 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
             states = rt.well_jump(state_words, len(counts), wpc)
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-        device_coder = (use_jax and mesh is None
-                        and _device_coder_enabled())
+        device_coder = use_jax and _device_coder_enabled()
         if device_coder:
             # Device-CODER production path (VERDICT r2 top item): the
             # accelerator quantizes AND entropy-codes every non-warmup
             # shard in parallel lanes (ops/coder_device.py); the
             # device->host transfer is the compressed payload itself,
-            # not per-symbol intermediates.
+            # not per-symbol intermediates. With a mesh, both stages
+            # shard over it (quantize on reads, coder on lanes).
             td0 = time.perf_counter()
             draws = _shard_draws(states, counts, columns)
             td1 = time.perf_counter()
@@ -444,7 +461,7 @@ def _finish_encode(data, dist_matrix, clusters, cluster_arr, blocks, tables,
             payloads, dist_sum, recon = _device_coder_encode(
                 tables, data, clusters, cluster_arr, states, counts,
                 offs, columns, n_clusters, dist_matrix, prime_on,
-                want_recon, stats, draws, data_dev=data_dev)
+                want_recon, stats, draws, data_dev=data_dev, mesh=mesh)
         elif use_jax or mesh is not None:
             # Device-quantization production path: the accelerator runs
             # the batched quantize+dither scan over ALL reads at once

@@ -164,3 +164,59 @@ def test_device_quantize_production_path_byte_equal(mesh8):
         out = dec_mod.decode(dev.compressed)
         assert np.array_equal(out[:, :data.shape[1]],
                               host.reconstructed + 33)
+
+
+def test_mesh_device_coder_byte_equal(mesh8, monkeypatch):
+    """The device CODER composes with a mesh (VERDICT r3 item 9 /
+    round-4 feature): quantize shards over reads, the fused coder
+    scan shard_maps over the LANE axis (independent adaptive streams,
+    no collectives), and the container is byte-identical to the host
+    fused path. Uneven shard plan (13 shards over 6007 lines) + lane
+    padding (13 -> 64 lanes on the 8-device mesh) engage the wave /
+    padding logic. Reference scope: the whole coding loop
+    qv_compressor.c:48-143 as a multi-chip computation."""
+    from qvz_tpu.constants import DISTORTION_MSE
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.pipeline import decode as dec_mod
+    from qvz_tpu.pipeline import encode as enc_mod
+
+    rng = np.random.default_rng(7)
+    n, cols = 6007, 33
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-2, 3, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    kw = dict(n_clusters=3, ratio=0.5, want_recon=True, shards=13,
+              well_state=WellState.debug())
+    host = enc_mod.encode(data, dist, use_jax=False, **kw)
+    meshy = enc_mod.encode(data, dist, mesh=mesh8, use_jax=True, **kw)
+    assert host.compressed == meshy.compressed
+    assert "device_code" in meshy.stats.device_seconds
+    out = dec_mod.decode(meshy.compressed)
+    assert np.array_equal(out[:, :cols] - 33, host.reconstructed)
+
+
+def test_mesh_device_coder_kernel_interpret(mesh8, monkeypatch):
+    """The Mosaic kernel branch under shard_map (interpret mode on the
+    CPU mesh): per-device lane groups, byte-identical containers."""
+    from qvz_tpu.constants import DISTORTION_MSE
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.ops.well import WellState
+    from qvz_tpu.pipeline import encode as enc_mod
+
+    monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
+    rng = np.random.default_rng(11)
+    n, cols = 2003, 21
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-2, 3, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    dist = make_matrix(DISTORTION_MSE)
+    kw = dict(n_clusters=2, ratio=0.5, want_recon=False, shards=9,
+              prime=False, well_state=WellState.debug())
+    host = enc_mod.encode(data, dist, use_jax=False, **kw)
+    meshy = enc_mod.encode(data, dist, mesh=mesh8, use_jax=True, **kw)
+    assert host.compressed == meshy.compressed
+    assert meshy.stats.coder_fallback_lanes == 0
