@@ -319,6 +319,7 @@ def _run(opts, extract, input_name, output_name) -> int:
             shards=opts["shards"] if opts["shards"] != 1 else 0,
             prime=opts["prime"],
             recon_path=opts.get("uncompressed"),
+            use_jax=opts["use_jax"] is True,
             verbose=opts["verbose"])
         elapsed = time.perf_counter() - t0
         if opts["verbose"]:

@@ -94,6 +94,7 @@ def encode_streaming(input_path: str, output_path: str, *,
                      prime: bool = True,
                      reuse_blocks: bytes | None = None,
                      recon_path: str | None = None,
+                     use_jax: bool = False,
                      verbose: bool = False) -> dict:
     """Encode a quality file to a QVZ2 container with bounded memory.
 
@@ -108,7 +109,15 @@ def encode_streaming(input_path: str, output_path: str, *,
     with newlines — reference write path qv_compressor.c:100-115) to
     this file, streamed per shard into a memory-mapped output so peak
     memory stays bounded; byte-identical to the in-memory path's
-    reconstruction (same quantization decisions)."""
+    reconstruction (same quantization decisions).
+
+    use_jax: run the chunked statistics pass and the per-shard
+    quantization on the accelerator (device outputs are the small
+    count tensors / the precomputed coding streams; the adaptive
+    arithmetic streams still advance on host threads). Containers are
+    byte-identical to the host path; worthwhile on PCIe-attached
+    chips, a measured loss on this environment's narrow tunnel
+    (SCALING.md 'Tunnel reality')."""
     if well_state is None:
         well_state = WellState.debug()
     if dist_matrix is None:
@@ -188,9 +197,22 @@ def encode_streaming(input_path: str, output_path: str, *,
         cond = np.zeros((n_clusters, columns - 1, A, A), dtype=np.uint64)
         for lo in range(0, n, chunk_lines):
             hi = min(n, lo + chunk_lines)
-            rt.stats_host(_rows(mm, columns, lo, hi),
-                          assign[lo:hi] if assign is not None else None,
-                          n_clusters, accumulate=(counts0, cond))
+            if use_jax:
+                # device histogram: the chunk uploads 1 B/symbol, the
+                # returned count tensors are tiny (device-friendly even
+                # on narrow links)
+                from qvz_tpu.ops import stats as jx_stats
+                c0j, cj = jx_stats.conditional_counts(
+                    _rows(mm, columns, lo, hi),
+                    assign[lo:hi] if assign is not None
+                    else np.zeros(hi - lo, dtype=np.uint8), n_clusters)
+                counts0 += np.asarray(c0j).astype(np.uint64)
+                cond += np.asarray(cj).astype(np.uint64)
+            else:
+                rt.stats_host(_rows(mm, columns, lo, hi),
+                              assign[lo:hi] if assign is not None
+                              else None,
+                              n_clusters, accumulate=(counts0, cond))
             if n_clusters == 1:
                 # single-cluster: no later pass re-reads this range
                 # until its own shard codes it; reclaim the pages
@@ -266,14 +288,36 @@ def encode_streaming(input_path: str, output_path: str, *,
 
     def code_shard(s, init_bank=None, want_bank=False):
         lo, hi = int(offs[s]), int(offs[s + 1])
-        data_t = _rows_t(mm, columns, lo, hi)
-        r = rt.encode_fused_colmajor(
-            tables, data_t,
-            assign[lo:hi] if assign is not None else None,
-            states[s], dist=dist_matrix,
-            want_recon=recon_mm is not None,
-            init_bank=init_bank, want_bank=want_bank)
-        del data_t
+        cl = assign[lo:hi] if assign is not None else None
+        if use_jax:
+            # device quantize (per-shard, bounded upload), host threads
+            # advance the adaptive streams from the precomputed pairs —
+            # the streaming form of _finish_encode's device-quantization
+            # production path
+            from qvz_tpu.ops import quantize as jx_quant
+            rows = _rows(mm, columns, lo, hi)
+            draws = rt.well_draws7(
+                states[s], (hi - lo) * columns).reshape(hi - lo, columns)
+            md_t, qs_t, qv_t = jx_quant.quantize_t(tables, rows, cl,
+                                                   draws)
+            out = rt.encode_precomputed_colmajor(
+                tables, np.ascontiguousarray(md_t),
+                np.ascontiguousarray(qs_t), cl, hi - lo,
+                init_bank=init_bank, want_bank=want_bank)
+            pay, bank_out = out if want_bank else (out, None)
+            recon = qv_t.T if recon_mm is not None else None
+            dsum = float(dist_matrix[rows.reshape(-1),
+                                     qv_t.T.reshape(-1)].sum()) / columns
+            del rows
+            r = (pay, recon, dsum) + ((bank_out,) if want_bank else ())
+        else:
+            data_t = _rows_t(mm, columns, lo, hi)
+            r = rt.encode_fused_colmajor(
+                tables, data_t, cl,
+                states[s], dist=dist_matrix,
+                want_recon=recon_mm is not None,
+                init_bank=init_bank, want_bank=want_bank)
+            del data_t
         if recon_mm is not None:
             recon_mm[lo:hi, :columns] = r[1] + PHRED_OFFSET
             recon_mm[lo:hi, columns] = ord("\n")

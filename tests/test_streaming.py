@@ -130,3 +130,29 @@ def test_streaming_reuse_books(qfile, tmp_path):
                           reuse_blocks=blocks)
     assert st["stats_s"] == 0.0
     assert p2.read_bytes() == comp
+
+
+def test_streaming_device_path_byte_equal(qfile, tmp_path):
+    """use_jax=True streaming (device chunked stats + per-shard device
+    quantize, host adaptive streams) emits the same container bytes and
+    -u reconstruction as the host streaming path (VERDICT r3 item 4:
+    the device passes wired into the bounded-RSS pipeline)."""
+    path, data = qfile
+    dist = make_matrix(DISTORTION_MSE)
+    host_q = tmp_path / "h.q"
+    host_u = tmp_path / "h.u"
+    dev_q = tmp_path / "d.q"
+    dev_u = tmp_path / "d.u"
+    for n_clusters in (1, 3):
+        encode_streaming(path, str(host_q), n_clusters=n_clusters,
+                         ratio=0.5, well_state=WellState.debug(),
+                         dist_matrix=dist, shards=5, chunk_lines=7000,
+                         recon_path=str(host_u))
+        st = encode_streaming(path, str(dev_q), n_clusters=n_clusters,
+                              ratio=0.5, well_state=WellState.debug(),
+                              dist_matrix=dist, shards=5,
+                              chunk_lines=7000, recon_path=str(dev_u),
+                              use_jax=True)
+        assert dev_q.read_bytes() == host_q.read_bytes()
+        assert dev_u.read_bytes() == host_u.read_bytes()
+        assert st["payload_bytes"] > 0
