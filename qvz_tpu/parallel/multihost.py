@@ -183,6 +183,14 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
                     rt.stats_host(rows_sym(a, b),
                                   cl[a:b] if cl is not None else None,
                                   n_clusters, accumulate=(c0, cond))
+                    if n_clusters == 1:
+                        # single-cluster: nothing re-reads this range
+                        # before its own shard codes it — release the
+                        # pages (same policy as the single-process
+                        # streaming pass; without this a worker's RSS
+                        # grows to its whole slice: measured 6.45 GB
+                        # on a 5.1 GB slice of the 100M-read corpus)
+                        done_with(a, b)
             elif use_jax:
                 from qvz_tpu.ops import stats as jx_stats
                 c0, cond = jx_stats.conditional_counts(

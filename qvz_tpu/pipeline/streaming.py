@@ -83,6 +83,26 @@ def _drop_pages(mm: np.ndarray, columns: int, lo: int, hi: int) -> None:
         pass  # advisory only
 
 
+def _flush_drop(mm: np.ndarray, row_bytes: int, lo: int, hi: int) -> None:
+    """msync then release the pages backing OUTPUT rows [lo, hi) of a
+    writable memmap: the dirty reconstruction pages of a 10+ GB `-u`
+    file would otherwise accumulate in the resident set until the
+    final flush. Ordering matters — MADV_DONTNEED on still-dirty pages
+    discards the data, so the range flush must land first."""
+    try:
+        import mmap as _mmap
+
+        raw = mm._mmap
+        page = 4096
+        start = (lo * row_bytes) // page * page
+        end = hi * row_bytes // page * page
+        if end > start:
+            raw.flush(start, end - start)
+            raw.madvise(_mmap.MADV_DONTNEED, start, end - start)
+    except (AttributeError, ValueError, OSError):
+        pass  # advisory only
+
+
 def encode_streaming(input_path: str, output_path: str, *,
                      n_clusters: int = 1, mode: int = MODE_RATIO,
                      ratio: float = 0.5, cluster_threshold: float = 4.0,
@@ -321,6 +341,7 @@ def encode_streaming(input_path: str, output_path: str, *,
         if recon_mm is not None:
             recon_mm[lo:hi, :columns] = r[1] + PHRED_OFFSET
             recon_mm[lo:hi, columns] = ord("\n")
+            _flush_drop(recon_mm, columns + 1, lo, hi)
         _drop_pages(mm, columns, lo, hi)
         return r
 
