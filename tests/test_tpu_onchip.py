@@ -217,3 +217,41 @@ print(f'mosaic decode parity on-chip OK '
 """)
     assert "device decode 16-lane parity on-chip OK" in out
     assert "mosaic decode parity on-chip OK" in out
+
+
+def test_mesh_device_coder_on_chip():
+    """The mesh-sharded lane coder path compiled on real hardware: a
+    1-device Mesh over the chip drives _mesh_lane_kernel (shard_map +
+    Mosaic kernel) through the full encode; the container must be
+    byte-identical to the host path. Single chip only proves the
+    shard_map lowering + kernel composition compiles and stays exact
+    on TPU — the N>1 wiring is proven on the virtual CPU mesh
+    (dryrun_multichip, tests/test_sharded.py)."""
+    out = _run_onchip("""
+import numpy as np, jax
+assert any(d.platform != 'cpu' for d in jax.devices()), jax.devices()
+from jax.sharding import Mesh
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.parallel.mesh import READS_AXIS
+from qvz_tpu.pipeline import encode as enc
+
+rng = np.random.default_rng(23)
+n, cols = 30000, 60
+start = rng.integers(20, 45, size=(n, 1))
+steps = rng.integers(-3, 4, size=(n, cols - 1))
+data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+               71).astype(np.uint8)
+dist = make_matrix(DISTORTION_MSE)
+mesh = Mesh(np.asarray(jax.devices()[:1]), (READS_AXIS,))
+kw = dict(ratio=0.5, well_state=WellState.debug(), shards=32,
+          want_recon=False)
+host = enc.encode(data, dist, use_jax=False, **kw)
+meshy = enc.encode(data, dist, mesh=mesh, use_jax=True, **kw)
+assert host.compressed == meshy.compressed, 'mesh on-chip divergence'
+assert 'device_code' in meshy.stats.device_seconds
+print('mesh device coder on-chip OK, fallbacks',
+      meshy.stats.coder_fallback_lanes)
+""")
+    assert "mesh device coder on-chip OK" in out
