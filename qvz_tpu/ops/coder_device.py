@@ -176,6 +176,23 @@ class LanePlan:
         # sbc(max mid in block)
         self.sbc_of_mid = (slot_base
                            + cards.astype(np.int32)).astype(np.int32)
+        # per-column MODEL-row tables for the totals side-table kernel
+        # variant (QVZ_TPU_CODER_TOTALS): row m of column c carries the
+        # model id (tmk, -1 pad) and its initial total (tin). Model ids
+        # are NOT contiguous within a column (cluster ranges are
+        # interleaved across columns), so the kernel matches rows by
+        # key, exactly like the slot table.
+        M = max((len(ms) for ms in col_models), default=1)
+        m_pad = max(8, -(-M // 8) * 8)
+        tmk = np.full((cols, m_pad), -1, dtype=np.int32)
+        tin = np.zeros((cols, m_pad), dtype=np.int32)
+        for c in range(cols):
+            ms = col_models[c]
+            tmk[c, : len(ms)] = ms
+            tin[c, : len(ms)] = totals_init[ms].astype(np.int64)
+        self.tmk = tmk
+        self.tin = tin
+        self.M = m_pad
 
 
 # --------------------------------------------------------------------------
@@ -464,7 +481,9 @@ def _mesh_lane_kernel(streams, tabs, W, S, L, interp, bstep, mesh):
     from qvz_tpu.parallel.mesh import READS_AXIS
 
     wd = W // mesh.devices.size
-    wg = coder_pallas.lane_group(wd, S, bstep)
+    mp = (tabs[3].shape[1]
+          if coder_pallas.use_totals() and len(tabs) >= 5 else 0)
+    wg = coder_pallas.lane_group(wd, S, bstep, m_pad=mp)
 
     def body(mid_s, qs_s, etl, eth, etn, reset):
         sg = (mid_s, qs_s, etl, eth, etn, reset)
@@ -617,7 +636,10 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
                   and (jax.default_backend() != "cpu"
                        or pallas_flag == "interpret")
                   and L <= 2047
-                  and coder_pallas.lane_group(W // n_dev, S) > 0)
+                  and coder_pallas.lane_group(
+                      W // n_dev, S,
+                      m_pad=plan.M if coder_pallas.use_totals()
+                      else 0) > 0)
     if use_pallas:
         mid_s = seg(jnp.asarray(mid_lanes, _I32))
         qs_s = seg(jnp.asarray(qs_lanes, _I32))
@@ -639,10 +661,11 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
             timings["precompute"] = time.perf_counter() - t_seg
             t_seg = time.perf_counter()
         tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
-                plan.sbc_of_mid)
+                plan.sbc_of_mid, plan.tmk, plan.tin)
         interp = pallas_flag == "interpret"
         bstep = coder_pallas.batch_steps()
-        wg = coder_pallas.lane_group(W, S)
+        wg = coder_pallas.lane_group(
+            W, S, m_pad=plan.M if coder_pallas.use_totals() else 0)
         if mesh is not None:
             carry, (w0, w1, f0, f1) = _mesh_lane_kernel(
                 (mid_s, qs_s, etl, eth, etn, reset), tabs, W, S, L,
@@ -778,7 +801,10 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
                   and (jax.default_backend() != "cpu"
                        or pallas_flag == "interpret")
                   and Lb <= 2047
-                  and coder_pallas.lane_group(Wb // n_dev, S) > 0)
+                  and coder_pallas.lane_group(
+                      Wb // n_dev, S,
+                      m_pad=plan.M if coder_pallas.use_totals()
+                      else 0) > 0)
     if not use_pallas:
         def lanes_of(x):
             r = x[:, base:]
@@ -811,10 +837,11 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
         t_seg = time.perf_counter()
 
     tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
-            plan.sbc_of_mid)
+            plan.sbc_of_mid, plan.tmk, plan.tin)
     interp = pallas_flag == "interpret"
     bstep = coder_pallas.batch_steps()
-    wg = coder_pallas.lane_group(Wb, S)
+    wg = coder_pallas.lane_group(
+        Wb, S, m_pad=plan.M if coder_pallas.use_totals() else 0)
     if mesh is not None:
         carry, ys = _mesh_lane_kernel(streams, tabs, Wb, S, Lb,
                                       interp, bstep, mesh)

@@ -66,13 +66,14 @@ def _spad(S: int, bstep: int = 1) -> tuple[int, int]:
     return -(-S // sc) * sc, sc
 
 
-def fits(W: int, S: int, bstep: int = 1) -> bool:
+def fits(W: int, S: int, bstep: int = 1, m_pad: int = 0) -> bool:
     """True when the kernel's whole VMEM working set — counts table,
     per-chunk masked-sum temporaries, double-buffered stream/table/
     output blocks — fits the ~16 MB core VMEM with headroom (the temp
     term calibrated against a measured 16.94 MB compile at W=1024,
     S_pad=1152, sc=384; the bstep term against the measured 17.96 MB
-    scoped-vmem overflow at bstep=4, W=512, same tables)."""
+    scoped-vmem overflow at bstep=4, W=512, same tables). m_pad > 0
+    adds the totals-variant tables (QVZ_TPU_CODER_TOTALS)."""
     s_pad, sc = _spad(S, bstep)
     w_pad = -(-W // _LANE) * _LANE
     counts = s_pad * w_pad * 4
@@ -81,10 +82,29 @@ def fits(W: int, S: int, bstep: int = 1) -> bool:
     tables = 2 * s_pad * _LANE * 4      # single-buffered VMEM scratch
     streams = (5 + 3) * _BS * w_pad * 4 * 2
     counts = counts + key_wide
+    if m_pad:
+        counts += 2 * m_pad * w_pad * 4      # totals + wide key table
+        tables += 2 * m_pad * _LANE * 4      # ttab scratch
+        temps += (bstep + 2) * m_pad * w_pad * 4
     return counts + temps + tables + streams <= 13 * 2 ** 20
 
 
-def lane_group(W: int, S: int, bstep: int | None = None) -> int:
+def use_totals() -> bool:
+    """Totals side-table variant (QVZ_TPU_CODER_TOTALS, default on):
+    the per-step model total comes from a dedicated (models, lanes)
+    table swept in one short pass, removing the `owner` mask +
+    multiply-accumulate from the S-slot sweep (~25% of the kernel's
+    per-symbol VPU ops — the binding resource per the round-4
+    roofline). Measured on the v5e at 500k x 100 / W=512 / b=4
+    (best-of-3, byte-parity asserted in-probe): scan 0.554 s -> 0.436 s
+    = 90.2 -> 114.7 Msym/s (+27%), device_code 1.675 -> 1.402 s —
+    matching the op-count model's prediction, confirming the
+    issue-bound roofline. 0 falls back to the owner-sweep form."""
+    return os.environ.get("QVZ_TPU_CODER_TOTALS", "1") == "1"
+
+
+def lane_group(W: int, S: int, bstep: int | None = None,
+               m_pad: int = 0) -> int:
     """Largest lane-group width (multiple of 128) that fits VMEM;
     0 if even 128 lanes do not fit. Lanes are independent streams, so
     callers may run the kernel per group with identical results."""
@@ -92,7 +112,7 @@ def lane_group(W: int, S: int, bstep: int | None = None) -> int:
         bstep = batch_steps()
     w = -(-W // _LANE) * _LANE
     while w >= _LANE:
-        if fits(w, S, bstep):
+        if fits(w, S, bstep, m_pad):
             return w
         w //= 2
     return 0
@@ -100,10 +120,19 @@ def lane_group(W: int, S: int, bstep: int | None = None) -> int:
 
 def _kernel2(reset_ref, sbound_ref, colmap_ref,
              mid_ref, qs_ref, etl_ref, eth_ref, etn_ref,
-             kq_ref, icc_ref,
-             w0_ref, w1_ref, fl_ref, st_ref,
-             counts_ref, state_ref, tabs_ref, kqw_ref, dma_sem, *, bs,
-             s_pad, sc, bstep):
+             kq_ref, icc_ref, *rest, bs,
+             s_pad, sc, bstep, m_pad=0):
+    if m_pad:
+        # totals variant (use_totals): two extra HBM tables (model-row
+        # keys + init totals) and three extra scratch buffers (ttab
+        # slices, wide key broadcast, the totals table itself)
+        (tmk_ref, tin_ref,
+         w0_ref, w1_ref, fl_ref, st_ref,
+         counts_ref, state_ref, tabs_ref, kqw_ref,
+         ttab_ref, totals_ref, tmkw_ref, dma_sem) = rest
+    else:
+        (w0_ref, w1_ref, fl_ref, st_ref,
+         counts_ref, state_ref, tabs_ref, kqw_ref, dma_sem) = rest
     """v2: NO precomputed per-step streams beyond the quantize outputs.
 
     Every model-replay quantity is derived inside the chunk loop from
@@ -135,16 +164,22 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
 
     @pl.when(first | (col != colmap_ref[jnp.maximum(i - 1, 0)]))
     def _():
-        for k, src in enumerate((kq_ref, icc_ref)):
-            pltpu.make_async_copy(src.at[col], tabs_ref.at[k],
+        srcs = [(kq_ref, tabs_ref), (icc_ref, tabs_ref)]
+        if m_pad:
+            srcs += [(tmk_ref, ttab_ref), (tin_ref, ttab_ref)]
+        for k, (src, dst) in enumerate(srcs):
+            pltpu.make_async_copy(src.at[col], dst.at[k % 2],
                                   dma_sem.at[k]).start()
-        for k, src in enumerate((kq_ref, icc_ref)):
-            pltpu.make_async_copy(src.at[col], tabs_ref.at[k],
+        for k, (src, dst) in enumerate(srcs):
+            pltpu.make_async_copy(src.at[col], dst.at[k % 2],
                                   dma_sem.at[k]).wait()
         # per-plane 2-D copies: a (s_pad, 1, 128) -> (s_pad, W8, 128)
         # middle-axis broadcast scalarizes in Mosaic
         for k in range(kqw_ref.shape[1]):
             kqw_ref[:, k, :] = tabs_ref[0]
+        if m_pad:
+            for k in range(tmkw_ref.shape[1]):
+                tmkw_ref[:, k, :] = ttab_ref[0]
 
     # Column starts are always block-aligned (L % BS == 0, and the
     # leading explicit segment is L steps), so the counts reset hoists
@@ -156,6 +191,10 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
         v = tabs_ref[1] << 12
         for k in range(counts_ref.shape[1]):
             counts_ref[:, k, :] = v
+        if m_pad:
+            vt = ttab_ref[1] << 12
+            for k in range(totals_ref.shape[1]):
+                totals_ref[:, k, :] = vt
 
     # combo counts table: init counts in the high 20 bits (their
     # masked sums stay < 2^20: model totals are capped at r + 8), live
@@ -192,6 +231,7 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
         lives = [m > 0 for m in mids]
         m128s = [m << 7 for m in mids]    # model key bases
         zi = jnp.zeros(shape, _I32)
+        na = 2 if m_pad else 3            # accumulators per batch step
 
         def chunk(ci, acc):
             c0 = ci * sc
@@ -203,27 +243,50 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
             out = []
             upd = None
             for k in range(B):
-                a_lo, a_tot, a_eq = acc[3 * k: 3 * k + 3]
                 d = kw - m128s[k][None]
                 nonneg = d >= 0
-                owner = (nonneg & (d < 128)).astype(_I32)
                 below = (nonneg & (d < qss[k][None])).astype(_I32)
                 eq = (d == qss[k][None]).astype(_I32)
-                out += [a_lo + jnp.sum(c * below, axis=0),
-                        a_tot + jnp.sum(c * owner, axis=0),
-                        a_eq + jnp.sum(c * eq, axis=0)]
+                out += [acc[na * k] + jnp.sum(c * below, axis=0)]
+                if not m_pad:
+                    # model total from the owner-masked slot sweep;
+                    # the totals variant reads it off the side table
+                    owner = (nonneg & (d < 128)).astype(_I32)
+                    out += [acc[na * k + 1]
+                            + jnp.sum(c * owner, axis=0)]
+                out += [acc[na * k + na - 1] + jnp.sum(c * eq, axis=0)]
                 e = eq * lives[k].astype(_I32)[None]
                 upd = e if upd is None else upd + e
             counts_ref[pl.ds(c0, sc)] = c + upd
             return tuple(out)
 
         nch = (sbound_ref[i] + sc - 1) // sc
-        acc = jax.lax.fori_loop(0, nch, chunk, (zi,) * (3 * B))
+        acc = jax.lax.fori_loop(0, nch, chunk, (zi,) * (na * B))
+
+        if m_pad:
+            # ONE short pass over the (m_pad, W8, 128) totals table
+            # replaces B owner sweeps over s_pad slots: rows match by
+            # model-id key exactly like the slot table, and all B
+            # steps share the read + the eq-update write-back.
+            tw = totals_ref[:]
+            kwm = tmkw_ref[:]
+            tots = []
+            tupd = None
+            for k in range(B):
+                eqm = (kwm == mids[k][None]).astype(_I32)
+                tots.append(jnp.sum(tw * eqm, axis=0))
+                e = eqm * lives[k].astype(_I32)[None]
+                tupd = e if tupd is None else tupd + e
+            totals_ref[:] = tw + tupd
 
         l, u, s3, buf, cnt, of = carry
         mask12 = jnp.int32(0xFFF)
         for k in range(B):
-            a_lo, a_tot, a_eq = acc[3 * k: 3 * k + 3]
+            if m_pad:
+                a_lo, a_eq = acc[2 * k: 2 * k + 2]
+                a_tot = tots[k]
+            else:
+                a_lo, a_tot, a_eq = acc[3 * k: 3 * k + 3]
             for j in range(k):
                 samem = lives[k] & (mids[j] == mids[k])
                 a_tot = a_tot + samem.astype(_I32)
@@ -285,7 +348,6 @@ def batch_steps() -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("W", "S", "L", "interpret", "bstep"))
 def fused_scan_tables(streams, tables, W, S, L, interpret=False,
                       bstep=1):
     """v2 entry: code T = seg_pre + cols*L steps directly from the
@@ -299,11 +361,26 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
     streams: (mid, qs, etl, eth, etn, reset) with (T, W) layouts; mid
     is the GLOBAL model id per step (0 or negative = explicit-triple
     step: cluster-id segment, padding); qs the symbol index.
-    tables: (mkey, qskey, icc, col_slots) — (cols, S)x3 + (cols,) from
-    LanePlan. L: steps per column segment (must divide into _BS blocks;
-    the optional leading cluster segment is L steps too).
+    tables: (kq, icc, sbc_of_mid[, tmk, tin]) from LanePlan — the
+    5-tuple enables the totals side-table variant when
+    QVZ_TPU_CODER_TOTALS=1 (see use_totals). L: steps per column
+    segment (must divide into _BS blocks; the optional leading cluster
+    segment is L steps too).
 
     Returns the same (carry, ys) contract as _fused_scan[:6]."""
+    if use_totals() and len(tables) >= 5:
+        ttabs = (tables[3], tables[4])
+        m_pad = int(tables[3].shape[1])
+    else:
+        ttabs, m_pad = None, 0
+    return _fst_impl(streams, tuple(tables[:3]), ttabs, W, S, L,
+                     interpret, bstep, m_pad)
+
+
+@partial(jax.jit, static_argnames=("W", "S", "L", "interpret", "bstep",
+                                   "m_pad"))
+def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
+              bstep=1, m_pad=0):
     mid, qs, etl, eth, etn, reset = streams
     kq, icc, sbc_of_mid = tables
     T = mid.shape[0]
@@ -355,29 +432,45 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
 
     kq_p = padtab(kq, -1)
     icc_p = padtab(icc, 0)
+    ttabs_p = ()
+    if m_pad:
+        def padm(a, fill):
+            a = jnp.asarray(a, _I32)
+            return jnp.broadcast_to(a[:, :, None],
+                                    (cols, m_pad, _LANE))
+
+        ttabs_p = (padm(ttabs[0], -1), padm(ttabs[1], 0))
 
     w8 = w_pad // _LANE
     blk = pl.BlockSpec((_BS, w8, _LANE), lambda i, *_: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM;
     # the kernel DMAs the current column's slices once per column
+    scratch = [
+        pltpu.VMEM((s_pad, w8, _LANE), _I32),
+        pltpu.VMEM((6, w8, _LANE), _U32),
+        pltpu.VMEM((2, s_pad, _LANE), _I32),
+        pltpu.VMEM((s_pad, w8, _LANE), _I32),
+    ]
+    if m_pad:
+        scratch += [
+            pltpu.VMEM((2, m_pad, _LANE), _I32),      # ttab slices
+            pltpu.VMEM((m_pad, w8, _LANE), _I32),     # totals table
+            pltpu.VMEM((m_pad, w8, _LANE), _I32),     # wide key bcast
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((4 if m_pad else 2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblocks,),
-        in_specs=[blk] * 5 + [tab] * 2,
+        in_specs=[blk] * 5 + [tab] * (4 if m_pad else 2),
         out_specs=(blk, blk, blk,
                    pl.BlockSpec((6, w8, _LANE), lambda i, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((s_pad, w8, _LANE), _I32),
-            pltpu.VMEM((6, w8, _LANE), _U32),
-            pltpu.VMEM((2, s_pad, _LANE), _I32),
-            pltpu.VMEM((s_pad, w8, _LANE), _I32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     w0, w1, fl, st = pl.pallas_call(
-        partial(_kernel2, bs=_BS, s_pad=s_pad, sc=sc, bstep=bstep),
+        partial(_kernel2, bs=_BS, s_pad=s_pad, sc=sc, bstep=bstep,
+                m_pad=m_pad),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, w8, _LANE), _U32),
@@ -386,7 +479,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
             jax.ShapeDtypeStruct((6, w8, _LANE), _U32),
         ),
         interpret=interpret,
-    )(reset_p, sbound, colmap, *ins, kq_p, icc_p)
+    )(reset_p, sbound, colmap, *ins, kq_p, icc_p, *ttabs_p)
 
     def unpad_t(a):
         return a.reshape(t_pad, w_pad)[:T, :W]

@@ -188,8 +188,8 @@ def test_device_coder_lane_group_split(monkeypatch):
 
     real_group = coder_pallas.lane_group
 
-    def capped(W, S):
-        g = real_group(W, S)
+    def capped(W, S, *a, **kw):
+        g = real_group(W, S, *a, **kw)
         return min(g, 128) if g else 0
 
     monkeypatch.setattr(coder_pallas, "lane_group", capped)
@@ -221,5 +221,26 @@ def test_device_coder_step_batching_byte_equal(batch, monkeypatch):
     monkeypatch.setenv("QVZ_TPU_DEVICE_MIN_BYTES", "0")
     monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
     monkeypatch.setenv("QVZ_TPU_CODER_BATCH", str(batch))
+    dev = _encode(data, use_jax=True, **cfg)
+    assert dev.compressed == host.compressed
+
+
+@pytest.mark.parametrize("totals", ["0", "1"])
+def test_device_coder_totals_variant_byte_equal(totals, monkeypatch):
+    """Both kernel forms — the owner-sweep original and the round-4
+    totals side-table variant (QVZ_TPU_CODER_TOTALS, the default) —
+    must emit containers byte-identical to the host coder. Pinning the
+    env keeps the non-default form covered whichever way the default
+    points. Low-entropy data + clusters + priming so intra-batch
+    same-model corrections and the cluster prologue both engage."""
+    rng = np.random.default_rng(33)
+    n, cols = 4000, 12
+    data = np.clip(30 + rng.integers(-1, 2, size=(n, cols)).cumsum(1),
+                   0, 71).astype(np.uint8)
+    cfg = dict(shards=5, n_clusters=3)
+    host = _encode(data, use_jax=False, **cfg)
+    monkeypatch.setenv("QVZ_TPU_DEVICE_MIN_BYTES", "0")
+    monkeypatch.setenv("QVZ_TPU_CODER_PALLAS", "interpret")
+    monkeypatch.setenv("QVZ_TPU_CODER_TOTALS", totals)
     dev = _encode(data, use_jax=True, **cfg)
     assert dev.compressed == host.compressed
