@@ -128,13 +128,20 @@ def coder_fused_traffic(steps: int, lanes: int, slots: int,
 
 
 def coder_fused_int_ops(steps: int, lanes: int, slots: int,
-                        bstep: int = 1) -> int:
-    # Per chunk element per step the kernel issues ~15 VPU integer ops
-    # (key delta + 3 mask compares/ands + 3 multiply-accumulate range
-    # sums + eq-update) plus one write-back add per batch; this is the
-    # kernel's true binding resource (see fused_utilization).
-    return steps * lanes * slots * 15 + (steps // max(bstep, 1)) * (
-        lanes * slots)
+                        bstep: int = 1, m_pad: int = 0) -> int:
+    # Per chunk element per step the owner-sweep kernel issues ~15 VPU
+    # integer ops (key delta + 3 mask compares/ands + 3 multiply-
+    # accumulate range sums + eq-update) plus one write-back add per
+    # batch; this is the kernel's true binding resource (see
+    # fused_utilization). The totals side-table variant (m_pad > 0,
+    # the round-4 default) drops the owner mask + MAC from the S sweep
+    # (~11 ops/element) and adds a short keyed pass over m_pad model
+    # rows (~5 ops/element).
+    per_slot = 11 if m_pad else 15
+    ops = steps * lanes * slots * per_slot
+    if m_pad:
+        ops += steps * lanes * m_pad * 5
+    return ops + (steps // max(bstep, 1)) * lanes * (slots + m_pad)
 
 
 def fused_utilization(hbm_bytes: int, vmem_bytes: int, int_ops: int,

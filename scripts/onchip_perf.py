@@ -112,16 +112,22 @@ def main():
             hdr = container_v2.header_size()
             tables = rt.tables_from_blocks(
                 host.compressed[hdr:], head.cluster_count, head.columns)
-            leg_S_box["S"] = LanePlan(tables, None).S
+            plan0 = LanePlan(tables, None)
+            leg_S_box["S"] = plan0.S
+            leg_S_box["M"] = plan0.M
         S = leg_S_box["S"]
         leg["S_slots"] = S
         if scan:
+            from qvz_tpu.ops import coder_pallas
+            mp = leg_S_box.get("M", 0) if coder_pallas.use_totals() \
+                else 0
             L = -(-n // shards)
             hbm_b, vmem_b = roofline.coder_fused_traffic(
                 cols * L, shards, S, batch)
             leg["roofline"] = roofline.fused_utilization(
                 hbm_b, vmem_b,
-                roofline.coder_fused_int_ops(cols * L, shards, S, batch),
+                roofline.coder_fused_int_ops(cols * L, shards, S, batch,
+                                             m_pad=mp),
                 scan, peaks)
         results["legs"][tag] = leg
         save()
