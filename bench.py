@@ -68,7 +68,15 @@ _MOSAIC_SETUP = (
     "jnp.ones((T2,W),jnp.uint32),\n"
     "    jnp.ones((T2,W),jnp.uint32),"
     "jnp.asarray((np.arange(T2)%L2)==0))\n"
-    "tb=(kq,icc,g)\n")
+    # model-row tables so the probe measures the production (totals
+    # side-table) kernel form when QVZ_TPU_CODER_TOTALS is on
+    "mp=8*((npc+7)//8)\n"
+    "tmk=np.full((cols,mp),-1,np.int32)\n"
+    "tin=np.zeros((cols,mp),np.int32)\n"
+    "for c_ in range(cols):\n"
+    "    tmk[c_,:npc]=1+c_*npc+np.arange(npc)\n"
+    "    tin[c_,:npc]=card\n"
+    "tb=(kq,icc,g,tmk,tin)\n")
 
 
 def log(msg: str) -> None:
@@ -470,12 +478,14 @@ def main() -> None:
         # fused coder kernels: HBM/VMEM/VPU split (round-3's model
         # charged the VMEM-resident counts table as HBM traffic and
         # printed >100% of HBM peak; the kernel is VPU-issue-bound)
-        for key, bstep in (("coder_fused", 1), ("coder_mosaic", 4),
-                           ("coder_mosaic_b8", 8)):
+        for key, bstep, mp in (("coder_fused", 1, 0),
+                               ("coder_mosaic", 4, 8),
+                               ("coder_mosaic_b8", 8, 8)):
             if f"{key}_ms" in telemetry:
                 util[key] = rl.fused_utilization(
                     *rl.coder_fused_traffic(39063, 256, 64, bstep),
-                    rl.coder_fused_int_ops(39063, 256, 64, bstep),
+                    rl.coder_fused_int_ops(39063, 256, 64, bstep,
+                                           m_pad=mp),
                     telemetry[f"{key}_ms"] / 1e3, peaks)
         if util:
             telemetry["utilization"] = util
