@@ -244,14 +244,18 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
             upd = None
             for k in range(B):
                 d = kw - m128s[k][None]
-                nonneg = d >= 0
-                below = (nonneg & (d < qss[k][None])).astype(_I32)
+                # (d >= 0) & (d < qs) as ONE unsigned compare: negative
+                # deltas (pads, lower models) wrap above 2^31, far over
+                # qs <= 127 — provably identical, one VPU op cheaper
+                below = (d.astype(_U32)
+                         < qss[k][None].astype(_U32)).astype(_I32)
                 eq = (d == qss[k][None]).astype(_I32)
                 out += [acc[na * k] + jnp.sum(c * below, axis=0)]
                 if not m_pad:
                     # model total from the owner-masked slot sweep;
                     # the totals variant reads it off the side table
-                    owner = (nonneg & (d < 128)).astype(_I32)
+                    owner = (d.astype(_U32)
+                             < jnp.uint32(128)).astype(_I32)
                     out += [acc[na * k + 1]
                             + jnp.sum(c * owner, axis=0)]
                 out += [acc[na * k + na - 1] + jnp.sum(c * eq, axis=0)]
