@@ -865,6 +865,79 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
     return _finish_lanes(carry, ys, W, timings, t_seg)
 
 
+def pipeline_chunks() -> int:
+    """Column-chunk count for the pipelined kernel path
+    (QVZ_TPU_CODER_PIPELINE; 0/1 disables). Default 8: at the bench
+    shape the d2h payload fetch (0.90 s) dominates the scan (0.51 s)
+    on the tunnel-attached v5e, and 8 chunks hide all but the first
+    chunk's scan behind the transfers."""
+    return int(os.environ.get("QVZ_TPU_CODER_PIPELINE", "8"))
+
+
+def _pipelined_raw(streams, tabs, Wb, W_real, S, L, cols, with_ct,
+                   interp, bstep, nch, timings, t_seg):
+    """Column-chunked kernel calls chained by the 6-word interval
+    carry, each chunk's compacted payload words fetched d2h
+    ASYNCHRONOUSLY while later chunks still run. On remote-attached
+    devices the payload fetch is the dominant device_code cost
+    (measured 0.90 s of 1.49 s at 500k x 100 / W=512), and chunking
+    overlaps it with the remaining scan. Chunks cut at column
+    boundaries, where the kernel's per-column counts table resets, so
+    ONLY the interval state crosses the cut — byte-identical to the
+    single-call form by construction (asserted in tests and on-chip).
+    """
+    from qvz_tpu.ops import coder_pallas
+    mid_s, qs_s, etl, eth, etn, reset = streams
+    csize = max(1, -(-cols // nch))
+    bounds = list(range(0, cols, csize)) + [cols]
+    seg_pre = L if with_ct else 0
+    carry = None
+    pending = []
+    for k in range(len(bounds) - 1):
+        c0, c1 = bounds[k], bounds[k + 1]
+        lo = 0 if k == 0 else seg_pre + c0 * L
+        hi = seg_pre + c1 * L
+        ch = tuple(a[lo:hi] for a in (mid_s, qs_s, etl, eth, etn,
+                                      reset))
+        carry, (w0, w1, f0, f1) = coder_pallas.fused_scan_tables(
+            ch, tabs, Wb, S, L, interpret=interp, bstep=bstep,
+            carry0=carry, col0=c0, ncols=c1 - c0)
+        counts = np.asarray(_word_counts(f0, f1))   # syncs chunk k
+        mw = int(counts.max()) if counts.size else 0
+        bucket = max(128, 1 << int(np.ceil(np.log2(max(mw, 1)))))
+        words, _ = _compact(w0, w1, f0, f1, bucket)
+        fine = min(bucket, max(128, -(-mw // 512) * 512))
+        wf = words[:fine]
+        try:
+            wf.copy_to_host_async()   # d2h overlaps the next chunks
+        except AttributeError:
+            pass                      # interpret/CPU arrays
+        pending.append((wf, counts))
+
+    l, u, s3, buf, cnt, of = carry
+    flags = np.asarray(of)
+    l_h, s3_h = np.asarray(l), np.asarray(s3)
+    buf_h, cnt_h = np.asarray(buf), np.asarray(cnt)
+    parts = [(np.asarray(wf), cn) for wf, cn in pending]
+    if timings is not None:
+        timings["pipeline"] = time.perf_counter() - t_seg
+        timings["pipeline_chunks"] = len(parts)
+        t_seg = time.perf_counter()
+
+    payloads = []
+    for w in range(W_real):
+        if flags[w]:
+            payloads.append(None)
+            continue
+        words_w = np.concatenate([p[: cn[w], w] for p, cn in parts])
+        payloads.append(finish_payload(
+            words_w, int(l_h[w]), int(s3_h[w]), int(buf_h[w]),
+            int(cnt_h[w])))
+    if timings is not None:
+        timings["assemble"] = time.perf_counter() - t_seg
+    return payloads, flags[:W_real]
+
+
 def _finish_lanes(carry, ys, W_real, timings, t_seg):
     """Shared tail: fetch carries, compact flagged words, assemble the
     per-lane payload byte strings."""

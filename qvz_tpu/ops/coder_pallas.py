@@ -126,12 +126,13 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
         # totals variant (use_totals): two extra HBM tables (model-row
         # keys + init totals) and three extra scratch buffers (ttab
         # slices, wide key broadcast, the totals table itself)
-        (tmk_ref, tin_ref,
+        (tmk_ref, tin_ref, state0_ref,
          w0_ref, w1_ref, fl_ref, st_ref,
          counts_ref, state_ref, tabs_ref, kqw_ref,
          ttab_ref, totals_ref, tmkw_ref, dma_sem) = rest
     else:
-        (w0_ref, w1_ref, fl_ref, st_ref,
+        (state0_ref,
+         w0_ref, w1_ref, fl_ref, st_ref,
          counts_ref, state_ref, tabs_ref, kqw_ref, dma_sem) = rest
     """v2: NO precomputed per-step streams beyond the quantize outputs.
 
@@ -204,8 +205,10 @@ def _kernel2(reset_ref, sbound_ref, colmap_ref,
     # are bit-exact mod 2^32 and fields extract with logical shifts.
 
     def init_carry():
-        z = jnp.zeros(shape, _U32)
-        return (z, jnp.full(shape, FULL, _U32), z, z, z, z)
+        # chunk-chaining: block 0 loads the caller-supplied initial
+        # interval state (canonical init, or the carry of the previous
+        # column-chunk call — see fused_scan_tables' carry0)
+        return tuple(state0_ref[k] for k in range(6))
 
     def load_carry():
         return tuple(state_ref[k] for k in range(6))
@@ -353,7 +356,7 @@ def batch_steps() -> int:
 
 
 def fused_scan_tables(streams, tables, W, S, L, interpret=False,
-                      bstep=1):
+                      bstep=1, carry0=None, col0=0, ncols=None):
     """v2 entry: code T = seg_pre + cols*L steps directly from the
     quantize outputs — no per-step precompute streams. Jitted whole:
     the eager pads/reshapes around the kernel each paid a full
@@ -371,24 +374,35 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
     segment (must divide into _BS blocks; the optional leading cluster
     segment is L steps too).
 
+    carry0/col0/ncols enable COLUMN-CHUNKED calls whose d2h payload
+    fetches overlap later chunks' kernels (coder_device pipelining):
+    carry0 is the previous call's carry (6-tuple, None = canonical
+    init), col0 the first GLOBAL column this call codes (traced — one
+    executable serves every same-shape chunk), ncols the number of
+    column segments in these streams (static; None = all of kq).
+    Chunks must start at column boundaries: the counts table resets
+    there, so only the 6-word interval state crosses the cut.
+
     Returns the same (carry, ys) contract as _fused_scan[:6]."""
     if use_totals() and len(tables) >= 5:
         ttabs = (tables[3], tables[4])
         m_pad = int(tables[3].shape[1])
     else:
         ttabs, m_pad = None, 0
-    return _fst_impl(streams, tuple(tables[:3]), ttabs, W, S, L,
-                     interpret, bstep, m_pad)
+    return _fst_impl(streams, tuple(tables[:3]), ttabs, carry0,
+                     jnp.asarray(col0, _I32), W, S, L,
+                     interpret, bstep, m_pad, ncols)
 
 
 @partial(jax.jit, static_argnames=("W", "S", "L", "interpret", "bstep",
-                                   "m_pad"))
-def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
-              bstep=1, m_pad=0):
+                                   "m_pad", "ncols"))
+def _fst_impl(streams, tables, ttabs, carry0, col0, W, S, L,
+              interpret=False, bstep=1, m_pad=0, ncols=None):
     mid, qs, etl, eth, etn, reset = streams
     kq, icc, sbc_of_mid = tables
     T = mid.shape[0]
     cols = kq.shape[0]
+    ncseg = cols if ncols is None else ncols
     assert L % _BS == 0, "column segment must align to kernel blocks"
     assert L <= 2047, "combo occurrence field is 12 bits (lane run cap)"
     w_pad = -(-W // _LANE) * _LANE
@@ -405,13 +419,15 @@ def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
     reset_p = jnp.pad(reset.astype(_I32), (0, t_pad - T))
 
     # block -> column map (host-static layout: leading explicit segment
-    # of T - cols*L steps, then cols segments of L)
+    # of T - ncseg*L steps, then ncseg segments of L; col0 shifts to
+    # global column ids — traced, so same-shape chunks share the
+    # executable)
     nblocks = t_pad // _BS
-    seg_pre = T - cols * L
+    seg_pre = T - ncseg * L
     blk_col = np.maximum(
         (np.arange(nblocks) * _BS - seg_pre) // L, 0)
-    blk_col = np.minimum(blk_col, cols - 1).astype(np.int32)
-    colmap = jnp.asarray(blk_col)
+    blk_col = np.minimum(blk_col, ncseg - 1).astype(np.int32)
+    colmap = jnp.asarray(blk_col) + col0
     # tight per-block slot bound: slot_base+card is monotone in the
     # model id within a column, so the block bound is sbc(max mid) — a
     # cheap device reduction plus an nblocks-sized gather (mid 0 =
@@ -446,6 +462,18 @@ def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
         ttabs_p = (padm(ttabs[0], -1), padm(ttabs[1], 0))
 
     w8 = w_pad // _LANE
+    # initial interval state (block 0 loads this instead of constants;
+    # pad lanes get the canonical init — their outputs are discarded)
+    if carry0 is None:
+        z = jnp.zeros((w8, _LANE), _U32)
+        state0 = jnp.stack([z, jnp.full((w8, _LANE), FULL, _U32),
+                            z, z, z, z])
+    else:
+        fills = (0, int(FULL), 0, 0, 0, 0)
+        state0 = jnp.stack([
+            jnp.pad(jnp.asarray(a).astype(_U32), (0, w_pad - W),
+                    constant_values=np.uint32(f)).reshape(w8, _LANE)
+            for a, f in zip(carry0, fills)])
     blk = pl.BlockSpec((_BS, w8, _LANE), lambda i, *_: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM;
@@ -463,13 +491,13 @@ def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
             pltpu.VMEM((m_pad, w8, _LANE), _I32),     # wide key bcast
         ]
     scratch.append(pltpu.SemaphoreType.DMA((4 if m_pad else 2,)))
+    st_blk = pl.BlockSpec((6, w8, _LANE), lambda i, *_: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblocks,),
-        in_specs=[blk] * 5 + [tab] * (4 if m_pad else 2),
-        out_specs=(blk, blk, blk,
-                   pl.BlockSpec((6, w8, _LANE), lambda i, *_: (0, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        in_specs=[blk] * 5 + [tab] * (4 if m_pad else 2) + [st_blk],
+        out_specs=(blk, blk, blk, st_blk),
         scratch_shapes=scratch,
     )
     w0, w1, fl, st = pl.pallas_call(
@@ -483,7 +511,7 @@ def _fst_impl(streams, tables, ttabs, W, S, L, interpret=False,
             jax.ShapeDtypeStruct((6, w8, _LANE), _U32),
         ),
         interpret=interpret,
-    )(reset_p, sbound, colmap, *ins, kq_p, icc_p, *ttabs_p)
+    )(reset_p, sbound, colmap, *ins, kq_p, icc_p, *ttabs_p, state0)
 
     def unpad_t(a):
         return a.reshape(t_pad, w_pad)[:T, :W]
