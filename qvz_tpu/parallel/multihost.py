@@ -131,6 +131,13 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
         if streaming:
             _drop_pages(mm, columns, lo + a, lo + b)
 
+    # Failure-injection hooks (chaos tests, tests/test_multihost.py):
+    # the reference trusts every byte it reads (qv_compressor.c-era
+    # trust is one of its bugs this framework fixes); these knobs let
+    # tests prove the coordinator fails CLEAN — actionable error, no
+    # partial container — when a worker dies or ships short payloads.
+    chaos = os.environ.get("QVZ_MH_CHAOS", "")
+
     assign = None
     # -u under --hosts (reference writes the lossy reconstruction in
     # every encode mode, qv_compressor.c:100-103): each host writes its
@@ -215,6 +222,8 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
                 put_recon(0, recon)
             conn.send((pay, dsum, bank))
         elif cmd == "encode":
+            if chaos == "die_on_encode" and lo > 0:
+                os._exit(17)            # injected mid-phase worker death
             (blocks, n_clusters, states, counts, dist, skip0, bank,
              spill_path) = msg[1:]
             from concurrent.futures import ThreadPoolExecutor
@@ -267,6 +276,12 @@ def _host_worker(conn, path: str, lo: int, hi: int, columns: int,
             dsum_total = float(sum(m[2] for m in meta[skip0:]))
             if spill_f is not None:
                 spill_f.close()
+                if chaos == "truncate_spill" and lo > 0:
+                    # injected short payload: the directory metadata
+                    # still claims the full size
+                    with open(spill_path, "r+b") as tf:
+                        tf.truncate(max(0,
+                                        os.path.getsize(spill_path) - 64))
                 conn.send(([(m[0], m[1]) for m in meta[skip0:]],
                            dsum_total))
             else:
@@ -361,6 +376,33 @@ def _accept_checked(listener, proc, timeout: float = 120.0):
                 proc.kill()
                 raise RuntimeError(
                     "timed out waiting for multihost worker to connect")
+
+
+def _recv_checked(conn, proc, host: int, phase: str):
+    """conn.recv() that converts a dead or wedged worker into an
+    actionable coordinator error instead of a bare EOFError (or an
+    indefinite hang). Polls the pipe in 1 s slices, checking the worker
+    process in between; a worker that exited gets one 0.5 s grace poll
+    to drain a message it sent just before dying."""
+    while True:
+        if conn.poll(1.0):
+            try:
+                return conn.recv()
+            except (EOFError, OSError):
+                raise RuntimeError(
+                    f"multihost worker {host} closed its control pipe "
+                    f"during {phase} (exit code {proc.poll()}); no "
+                    "container was written") from None
+        rc = proc.poll()
+        if rc is not None:
+            if conn.poll(0.5):
+                try:
+                    return conn.recv()
+                except (EOFError, OSError):
+                    pass
+            raise RuntimeError(
+                f"multihost worker {host} died during {phase} with exit "
+                f"code {rc}; no container was written")
 
 
 def _shard_plan(n: int, columns: int, shards: int, warmup: int = 0):
@@ -475,6 +517,7 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         procs.append(p)                  # conn h <-> host h
         conns.append(_accept_checked(listener, p))
     stats = {"hosts": n_hosts, "shards": S, "lines": n, "columns": columns}
+    sdir = None
 
     try:
         # --- k-means (coordinator-merged integer accumulators) ----------
@@ -497,15 +540,17 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                 h = next(i for i, (s0, s1) in enumerate(host_shards)
                          if offs[s0] <= gidx < offs[s1])
                 conns[h].send(("rows", [gidx]))
-                means[j] = conns[h].recv()[0]
+                means[j] = _recv_checked(conns[h], procs[h], h,
+                                         "k-means seeding")[0]
             iters = 0
             while iters < MAX_KMEANS_ITERATIONS:
                 for c in conns:
                     c.send(("kmeans_iter", means))
                 sums = np.zeros((n_clusters, columns), dtype=np.int64)
                 cnts = np.zeros(n_clusters, dtype=np.int64)
-                for c in conns:
-                    s_, c_ = c.recv()
+                for hh, c in enumerate(conns):
+                    s_, c_ = _recv_checked(c, procs[hh], hh,
+                                           "k-means iteration")
                     sums += s_
                     cnts += c_
                 iters += 1
@@ -529,8 +574,8 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         for c in conns:
             c.send(("stats", n_clusters))
         c0_sum = cond_sum = None
-        for c in conns:
-            c0, cond = c.recv()
+        for hh, c in enumerate(conns):
+            c0, cond = _recv_checked(c, procs[hh], hh, "statistics")
             if c0_sum is None:
                 c0_sum, cond_sum = c0.copy(), cond.copy()
             else:
@@ -556,7 +601,8 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         if prime_on:
             conns[0].send(("encode_warmup", blocks, n_clusters,
                            states[0], int(counts[0]), dist_matrix))
-            warm_pay, dsum0, bank = conns[0].recv()
+            warm_pay, dsum0, bank = _recv_checked(
+                conns[0], procs[0], 0, "warmup encode")
             dist_total += dsum0
         spills = [None] * n_hosts
         if streaming:
@@ -574,7 +620,7 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
                            states[s0:s1], counts[s0:s1], dist_matrix,
                            skip0, bank, spills[h]))
         for h, c in enumerate(conns):
-            payloads, dsum = c.recv()
+            payloads, dsum = _recv_checked(c, procs[h], h, "coding")
             payload_lists[h] = payloads
             dist_total += dsum
         t4 = time.perf_counter()
@@ -590,28 +636,53 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
             for lst in payload_lists:
                 metas.extend(lst)
             assert len(metas) == S
+            # fail CLEAN before the container exists: every spill file
+            # must hold exactly the bytes its host's directory entries
+            # claim — a worker that crashed after reporting, ran out of
+            # disk, or shipped a short payload is caught here, not by
+            # the eventual decoder's checksums
+            mi = 1 if prime_on else 0
+            for h, (s0, s1) in enumerate(host_shards):
+                lst = payload_lists[h]
+                want = sum(m[0] for m in lst)
+                got = os.path.getsize(spills[h])
+                mi += len(lst)
+                if got != want:
+                    raise ValueError(
+                        f"multihost worker {h} spill file holds {got} "
+                        f"payload bytes but its shard directory entries "
+                        f"claim {want} — truncated/corrupt payload; no "
+                        "container was written")
             head = container_v2._HEAD.pack(
                 container_v2.MAGIC, container_v2.VERSION, n_clusters,
                 container_v2.ORDER_COL, 1 if prime_on else 0,
                 columns, n, S)
-            with open(output_path, "wb") as out_f:
-                out_f.write(head)
-                out_f.write(blocks)
-                out_f.write(np.asarray(states[0],
-                                       dtype="<u4").tobytes())
-                for s in range(S):
-                    plen, ck = metas[s]
-                    out_f.write(container_v2._SHARD.pack(
-                        int(counts[s]), plen, ck))
-                    out_f.write(np.asarray(states[s],
+            try:
+                with open(output_path, "wb") as out_f:
+                    out_f.write(head)
+                    out_f.write(blocks)
+                    out_f.write(np.asarray(states[0],
                                            dtype="<u4").tobytes())
-                if prime_on:
-                    out_f.write(warm_pay)
-                import shutil as _sh
-                for h in range(n_hosts):
-                    with open(spills[h], "rb") as sf:
-                        _sh.copyfileobj(sf, out_f, 16 * 2 ** 20)
-                    os.unlink(spills[h])
+                    for s in range(S):
+                        plen, ck = metas[s]
+                        out_f.write(container_v2._SHARD.pack(
+                            int(counts[s]), plen, ck))
+                        out_f.write(np.asarray(states[s],
+                                               dtype="<u4").tobytes())
+                    if prime_on:
+                        out_f.write(warm_pay)
+                    import shutil as _sh
+                    for h in range(n_hosts):
+                        with open(spills[h], "rb") as sf:
+                            _sh.copyfileobj(sf, out_f, 16 * 2 ** 20)
+                        os.unlink(spills[h])
+            except BaseException:
+                # never leave a partial container behind
+                try:
+                    os.unlink(output_path)
+                except OSError:
+                    pass
+                raise
             os.rmdir(sdir)
             compressed = None
             payload_bytes = sum(m[0] for m in metas)
@@ -631,10 +702,14 @@ def encode_multihost(path: str, *, n_hosts: int, shards: int = 0,
         stats["total_s"] = time.perf_counter() - t0
         return compressed, stats
     finally:
+        if sdir is not None and os.path.isdir(sdir):
+            import shutil as _sh
+            _sh.rmtree(sdir, ignore_errors=True)
         for c in conns:
             try:
                 c.send(("quit",))
-                c.recv()
+                if c.poll(10):
+                    c.recv()
             except Exception:
                 pass
         listener.close()

@@ -134,3 +134,74 @@ def test_multihost_streaming_byte_equal(qfile, tmp_path, n_clusters):
     assert opath.read_bytes() == single.compressed
     assert rpath.read_bytes() == lines_to_bytes(single.reconstructed)
     assert abs(stats["rate"] - single.stats.rate) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Chaos tests (VERDICT r4 item 7): a >=1 GB --hosts 2 --streaming encode
+# must fail CLEAN — actionable error, no partial container, no leaked
+# spill files — under an injected worker death and an injected truncated
+# shard payload. The reference has no failure detection at all (errors
+# are printf+exit, SURVEY §5); parse-time checksums already guard decode,
+# and these prove the ENCODE control plane end-to-end.
+
+
+@pytest.fixture(scope="module")
+def bigfile(tmp_path_factory):
+    """~1.02 GB quality file (10M lines x 101 cols), built by tiling a
+    1M-line random block (content repetition is irrelevant to the
+    control-plane failure paths under test). Deleted at module end."""
+    rng = np.random.default_rng(77)
+    n_block, cols = 1_000_000, 101
+    start = rng.integers(25, 42, size=(n_block, 1))
+    steps = rng.integers(-2, 3, size=(n_block, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 2,
+                   41).astype(np.uint8)
+    block = np.empty((n_block, cols + 1), dtype=np.uint8)
+    block[:, :cols] = data + 33
+    block[:, cols] = 10
+    path = tmp_path_factory.mktemp("chaos") / "big.in"
+    with open(path, "wb") as f:
+        for _ in range(10):
+            f.write(block.tobytes())
+    assert path.stat().st_size >= 1_000_000_000
+    yield str(path)
+    path.unlink(missing_ok=True)
+
+
+def _no_spill_leak(out_dir):
+    import glob
+    import os
+    leaks = glob.glob(os.path.join(out_dir, "qvz_mh_spill_*"))
+    assert leaks == [], f"leaked spill dirs: {leaks}"
+
+
+def test_chaos_worker_death_fails_clean(bigfile, tmp_path, monkeypatch):
+    """Kill worker 1 when the coding phase starts: the coordinator must
+    raise an actionable error (who died, which phase) and write NO
+    container file."""
+    monkeypatch.setenv("QVZ_MH_CHAOS", "die_on_encode")
+    opath = tmp_path / "dead.q"
+    with pytest.raises(RuntimeError, match=r"worker 1 .*coding.*exit "
+                                           r"code 17"):
+        encode_multihost(bigfile, n_hosts=2, streaming=True,
+                         chunk_lines=1_000_000, ratio=0.5,
+                         well_state=WellState.debug(),
+                         output_path=str(opath))
+    assert not opath.exists(), "partial container left behind"
+    _no_spill_leak(str(tmp_path))
+
+
+def test_chaos_truncated_spill_fails_clean(bigfile, tmp_path,
+                                           monkeypatch):
+    """Worker 1 ships a spill file 64 bytes shorter than its directory
+    entries claim: the coordinator must detect the mismatch BEFORE
+    assembling and write NO container file."""
+    monkeypatch.setenv("QVZ_MH_CHAOS", "truncate_spill")
+    opath = tmp_path / "trunc.q"
+    with pytest.raises(ValueError, match="truncated/corrupt payload"):
+        encode_multihost(bigfile, n_hosts=2, streaming=True,
+                         chunk_lines=1_000_000, ratio=0.5,
+                         well_state=WellState.debug(),
+                         output_path=str(opath))
+    assert not opath.exists(), "partial container left behind"
+    _no_spill_leak(str(tmp_path))
