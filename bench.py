@@ -76,7 +76,7 @@ _MOSAIC_SETUP = (
     "for c_ in range(cols):\n"
     "    tmk[c_,:npc]=1+c_*npc+np.arange(npc)\n"
     "    tin[c_,:npc]=card\n"
-    "tb=(kq,icc,g,tmk,tin)\n")
+    "tb=(kq,icc,g,tmk,tin,sb)\n")
 
 
 def log(msg: str) -> None:

@@ -661,7 +661,8 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
             timings["precompute"] = time.perf_counter() - t_seg
             t_seg = time.perf_counter()
         tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
-                plan.sbc_of_mid, plan.tmk, plan.tin)
+                plan.sbc_of_mid, plan.tmk, plan.tin,
+                plan.slot_base.astype(np.int32))
         interp = pallas_flag == "interpret"
         bstep = coder_pallas.batch_steps()
         wg = coder_pallas.lane_group(
@@ -837,7 +838,8 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
         t_seg = time.perf_counter()
 
     tabs = (plan.kq, plan.init_counts_cols.astype(np.int32),
-            plan.sbc_of_mid, plan.tmk, plan.tin)
+            plan.sbc_of_mid, plan.tmk, plan.tin,
+            plan.slot_base.astype(np.int32))
     interp = pallas_flag == "interpret"
     bstep = coder_pallas.batch_steps()
     wg = coder_pallas.lane_group(

@@ -31,12 +31,29 @@ class ChipPeaks:
     # core) used only to place VPU-bound kernels on a roofline. Keep
     # the label "est" wherever this is reported.
     vpu_int_tops_est: float = 4.1
+    # MEASURED int32 issue ceilings (scripts/vpu_microbench.py on the
+    # real chip; None where never measured). Two regimes, both with
+    # loop-carried dependence + full ILP: register-resident chains
+    # (the absolute ALU ceiling) and the coder's actual regime —
+    # compare/select/add mixes streaming operands from VMEM, which
+    # issue ~1 vector op/cycle. Utilization of a table-sweep kernel
+    # should be judged against the second number.
+    vpu_int_tops_meas: float | None = None      # register-resident
+    vpu_sweep_tops_meas: float | None = None    # VMEM-operand mix
 
 
 _PEAKS = {
-    # public spec-sheet numbers per chip (hbm/bf16/int8)
-    "TPU v5e": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
-    "TPU v5 lite": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0),
+    # public spec-sheet numbers per chip (hbm/bf16/int8); v5e measured
+    # ceilings from build/vpu_microbench.json (2026-08-20: issue_addxor
+    # 7.3 / issue_cmpsel 6.2 Top/s register-resident; codermix_sel
+    # 117 Gelem/s x 9 ops = 1.05 Top/s VMEM-operand mix) — the round-4
+    # 4.1 estimate sat BETWEEN the two real regimes.
+    "TPU v5e": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0,
+                         vpu_int_tops_meas=6.2,
+                         vpu_sweep_tops_meas=1.05),
+    "TPU v5 lite": ChipPeaks("TPU v5e", 819.0, 197.0, 394.0,
+                             vpu_int_tops_meas=6.2,
+                             vpu_sweep_tops_meas=1.05),
     "TPU v5p": ChipPeaks("TPU v5p", 2765.0, 459.0, 918.0),
     "TPU v4": ChipPeaks("TPU v4", 1228.0, 275.0, 275.0),
     "TPU v6e": ChipPeaks("TPU v6e", 1640.0, 918.0, 1836.0),
@@ -129,18 +146,20 @@ def coder_fused_traffic(steps: int, lanes: int, slots: int,
 
 def coder_fused_int_ops(steps: int, lanes: int, slots: int,
                         bstep: int = 1, m_pad: int = 0) -> int:
-    # Per chunk element per step the owner-sweep kernel issues ~15 VPU
-    # integer ops (key delta + 3 mask compares/ands + 3 multiply-
-    # accumulate range sums + eq-update) plus one write-back add per
-    # batch; this is the kernel's true binding resource (see
-    # fused_utilization). The totals side-table variant (m_pad > 0,
-    # the round-4 default) drops the owner mask + MAC from the S sweep
-    # (~11 ops/element) and adds a short keyed pass over m_pad model
-    # rows (~5 ops/element).
-    per_slot = 11 if m_pad else 15
+    # Round-5 packed select kernel (coder_pallas._kernel3): per swept
+    # slot element per step the totals form issues ~8 VPU integer ops
+    # (key delta, unsigned below compare, select, accumulate, eq
+    # compare, select, accumulate, eq-update cast) plus the shared
+    # write-back add per batch; the owner-sweep form (m_pad == 0) adds
+    # the owner compare + select + accumulate (~11). The totals
+    # side-table pass costs ~4 ops per model-row element. NOTE this is
+    # an UPPER BOUND on ops actually issued: the kernel sweeps only
+    # [slot_base(min mid), sbc(max mid)) per block (data-dependent),
+    # so report utilization as "<=" against the sweep-regime ceiling.
+    per_slot = 8 if m_pad else 11
     ops = steps * lanes * slots * per_slot
     if m_pad:
-        ops += steps * lanes * m_pad * 5
+        ops += steps * lanes * m_pad * 4
     return ops + (steps // max(bstep, 1)) * lanes * (slots + m_pad)
 
 
@@ -157,7 +176,7 @@ def fused_utilization(hbm_bytes: int, vmem_bytes: int, int_ops: int,
     hbm_gbs = hbm_bytes / seconds / 1e9
     vmem_gbs = vmem_bytes / seconds / 1e9
     tops = int_ops / seconds / 1e12
-    return {
+    out = {
         "hbm_GB_s": round(hbm_gbs, 2),
         "pct_hbm_peak": round(100.0 * hbm_gbs / peaks.hbm_gbps, 2),
         "vmem_sweep_GB_s": round(vmem_gbs, 2),
@@ -165,6 +184,17 @@ def fused_utilization(hbm_bytes: int, vmem_bytes: int, int_ops: int,
         "pct_vpu_est": round(100.0 * tops / peaks.vpu_int_tops_est, 1),
         "chip": peaks.name,
     }
+    if peaks.vpu_int_tops_meas:
+        out["pct_vpu_meas"] = round(
+            100.0 * tops / peaks.vpu_int_tops_meas, 1)
+    if peaks.vpu_sweep_tops_meas:
+        # vs the MEASURED VMEM-operand mix ceiling (the kernel's true
+        # regime); int_ops is an upper bound (block slot bounds), so
+        # this can legitimately exceed 100 when bounds bite — report
+        # for the record, interpretation in SCALING.md
+        out["pct_sweep_regime"] = round(
+            100.0 * tops / peaks.vpu_sweep_tops_meas, 1)
+    return out
 
 
 def decoder_fused_traffic(steps: int, lanes: int, slots: int,
