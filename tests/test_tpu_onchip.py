@@ -172,6 +172,43 @@ print(f'device coder batch-8 parity on-chip OK '
     assert "device coder batch-8 parity on-chip OK" in out
 
 
+def test_device_coder_packed_f2_sblow_on_chip():
+    """Round-5 kernel defaults at PRODUCTION lane geometry: 256 lanes
+    exercises the F=2 slot-packing (the 32-lane test runs F=8), and
+    the per-block lower sweep bound (QVZ_TPU_CODER_SBLOW) is vouched
+    both on (default) and off against the host coder — compiled
+    Mosaic, not interpret mode."""
+    out = _run_onchip("""
+import numpy as np, jax, os, time
+assert any(d.platform != 'cpu' for d in jax.devices()), jax.devices()
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import encode as enc
+
+rng = np.random.default_rng(23)
+n, cols = 64000, 40
+start = rng.integers(20, 45, size=(n, 1))
+steps = rng.integers(-3, 4, size=(n, cols - 1))
+data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+               71).astype(np.uint8)
+dist = make_matrix(DISTORTION_MSE)
+kw = dict(ratio=0.5, well_state=WellState.debug(), shards=256,
+          prime=False, want_recon=False)
+host = enc.encode(data, dist, use_jax=False, **kw)
+dev = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == dev.compressed, 'F=2 packed coder divergence'
+assert dev.stats.coder_fallback_lanes == 0
+print('device coder F=2 sblow-on parity on-chip OK')
+os.environ['QVZ_TPU_CODER_SBLOW'] = '0'
+dev0 = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == dev0.compressed, 'sblow-off divergence'
+print('device coder F=2 sblow-off parity on-chip OK')
+""")
+    assert "device coder F=2 sblow-on parity on-chip OK" in out
+    assert "device coder F=2 sblow-off parity on-chip OK" in out
+
+
 def test_device_decode_parity_on_chip():
     """The lane-parallel arithmetic DECODER on the real chip: decoding
     a 16-shard QVZ2 container byte-identical to the host decoder
