@@ -25,7 +25,7 @@ Architecture:
     memory, byte-identical containers).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from qvz_tpu.constants import (  # noqa: F401
     ALPHABET_SIZE,
