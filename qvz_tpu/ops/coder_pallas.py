@@ -90,6 +90,9 @@ def _geom(W: int, S: int, bstep: int = 1, m_pad: int = 0):
     rows = -(-S // F)
     sc_slots_cap = max(_LANE, (2 * _SC // max(bstep, 2)) // _LANE * _LANE)
     sc_slots = min(min(_SC, sc_slots_cap), -(-S // _LANE) * _LANE)
+    sc_env = os.environ.get("QVZ_TPU_CODER_SC")
+    if sc_env:                 # tuning knob: chunk size in SLOTS
+        sc_slots = min(int(sc_env), -(-S // _LANE) * _LANE)
     sc = max(8, sc_slots // F)
     rows_pad = -(-rows // sc) * sc
     m_rows = -(-m_pad // F) if m_pad else 0
@@ -424,7 +427,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
     there, so only the 6-word interval state crosses the cut.
 
     Returns the same (carry, ys) contract as the XLA scan's [:6]."""
-    if use_totals() and len(tables) >= 5:
+    if use_totals() and len(tables) >= 5 and tables[3] is not None:
         ttabs = (tables[3], tables[4])
         m_pad = int(np.asarray(tables[3]).shape[1])
     else:

@@ -150,6 +150,33 @@ def main():
     for batch in (1, 2, 4, 8):
         safe(encode_leg, f"coder_W512_b{batch}", 512, batch)
 
+    # --- attribution A/B at the default point (W=512, b=1): which of
+    # the round-5 levers carries how much — lower sweep bound, totals
+    # side-table, chunk size (QVZ_TPU_CODER_SC in slots) -------------
+    def ab_leg(tag, env_kv):
+        if tag in results["legs"] and "error" not in results["legs"][tag]:
+            print(tag, "cached", flush=True)
+            return
+        saved = {k: os.environ.get(k) for k, _ in env_kv}
+        try:
+            for k, v in env_kv:
+                os.environ[k] = v
+            encode_leg(tag, 512, 1)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    safe(ab_leg, "coder_W512_b1_sblow_off",
+         [("QVZ_TPU_CODER_SBLOW", "0")])
+    safe(ab_leg, "coder_W512_b1_totals_off",
+         [("QVZ_TPU_CODER_TOTALS", "0")])
+    for scs in (128, 256, 512):
+        safe(ab_leg, f"coder_W512_b1_sc{scs}",
+             [("QVZ_TPU_CODER_SC", str(scs))])
+
     # --- lane-width sweep at the best batch so far -------------------
     best = min(
         (leg for t, leg in results["legs"].items()

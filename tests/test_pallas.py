@@ -150,3 +150,71 @@ def test_coder_pallas_matches_fused_scan():
         assert np.array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(ys_ref, ys_p):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("W", [384, 130])
+def test_coder_pallas_packed_geometries(W):
+    """Round-5 packed-layout edge geometries through the interpreter:
+    W=384 exercises w8=3 / F=2 (6 of 8 sublanes live, dead-sublane
+    padding in the packed tables), W=130 exercises lane padding at
+    w8=2 / F=4. Parity vs the XLA fused scan, element-exact."""
+    from qvz_tpu.ops.coder_device import _fused_scan
+    from qvz_tpu.ops.coder_pallas import fused_scan_tables
+
+    rng = np.random.default_rng(17)
+    cols, L = 3, 64
+    n_per_col, card = 4, 5
+    S = n_per_col * card
+    T = cols * L
+    n_models = cols * n_per_col + 1
+    mkey = np.full((cols, S), -1, np.int32)
+    qskey = np.zeros((cols, S), np.int32)
+    slot_base = np.zeros(n_models, np.int32)
+    cards = np.full(n_models, card, np.int32)
+    for c in range(cols):
+        pos = 0
+        for j in range(n_per_col):
+            m = 1 + c * n_per_col + j
+            slot_base[m] = pos
+            mkey[c, pos:pos + card] = m
+            qskey[c, pos:pos + card] = np.arange(card)
+            pos += card
+    icc = rng.integers(1, 4, (cols, S)).astype(np.int32)
+    kq = np.where(mkey >= 0, mkey.astype(np.int64) * 128 + qskey,
+                  -1).astype(np.int32)
+    sbc_of_mid = slot_base + cards
+
+    colix = np.repeat(np.arange(cols), L)
+    mloc = rng.integers(0, n_per_col, (T, W)).astype(np.int32)
+    mid = (1 + colix[:, None] * n_per_col + mloc).astype(np.int32)
+    qs = rng.integers(0, card, (T, W)).astype(np.int32)
+    mid[:, ::7] = 0
+    etl = np.zeros((T, W), np.uint32)
+    eth = np.ones((T, W), np.uint32)
+    etn = np.full((T, W), 2, np.uint32)
+    reset = (np.arange(T) % L) == 0
+    streams = tuple(jnp.asarray(a) for a in
+                    (mid, qs, etl, eth, etn, reset))
+    # 6-tuple tables: the per-block lower bound path is live too
+    carry_p, ys_p = fused_scan_tables(
+        streams, (kq, icc, sbc_of_mid, None, None, slot_base),
+        W, S, L, interpret=True)
+
+    slot = np.where(mid > 0, slot_base[mid] + qs, -1).astype(np.int32)
+    sbv = slot_base[mid]
+    sbcv = sbc_of_mid[mid]
+    ci = np.concatenate(
+        [np.zeros((cols, 1), np.int64), icc.cumsum(1)], axis=1)
+    blo = (ci[colix[:, None], sbv + qs]
+           - ci[colix[:, None], sbv]).astype(np.int32)
+    ia = icc[colix[:, None], np.minimum(sbv + qs, S - 1)]
+    ni = (ci[colix[:, None], sbcv] - ci[colix[:, None], sbv])
+    xs = tuple(jnp.asarray(a) for a in
+               (slot, sbv.astype(np.int32), sbcv.astype(np.int32),
+                blo, ia.astype(np.int32), ni.astype(np.int32),
+                etl, eth, etn, reset))
+    carry_ref, ys_ref = _fused_scan(xs, W, S)
+    for a, b in zip(carry_ref[:6], carry_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(ys_ref, ys_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
