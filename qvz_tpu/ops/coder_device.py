@@ -677,15 +677,40 @@ def encode_lanes(plan: LanePlan, mid_lanes, qs_lanes, valid,
                 interpret=interp, bstep=bstep)
         else:
             # lanes are independent streams: wider-than-VMEM lane sets
-            # run the kernel in groups with identical per-lane results
-            parts = []
+            # run the kernel in groups with identical per-lane results.
+            # Equal-width adjacent groups are PAIRED inside one jit:
+            # XLA overlaps the two kernel invocations' pipelines —
+            # measured 1.14x at the production table scale (S=1110,
+            # build/onchip_perf.json concurrent2_W512_S1110; 1.72x on
+            # small tables where both working sets co-fit in VMEM).
+            # QVZ_TPU_CODER_PAIR=0 restores sequential group calls.
+            groups = []
             for g0 in range(0, W, wg):
                 g1 = min(W, g0 + wg)
-                sg = tuple(a[:, g0:g1]
-                           for a in (mid_s, qs_s, etl, eth, etn))
-                parts.append(coder_pallas.fused_scan_tables(
-                    sg + (reset,), tabs, g1 - g0, S, L,
-                    interpret=interp, bstep=bstep))
+                groups.append((g1 - g0, tuple(
+                    a[:, g0:g1] for a in (mid_s, qs_s, etl, eth, etn))))
+            pair_on = (os.environ.get("QVZ_TPU_CODER_PAIR", "1") == "1"
+                       and not interp)
+
+            def call_one(sg):
+                return coder_pallas.fused_scan_tables(
+                    sg + (reset,), tabs, sg[0].shape[1], S, L,
+                    interpret=interp, bstep=bstep)
+
+            tabs_j = tuple(jnp.asarray(t) for t in tabs)
+            parts = []
+            i = 0
+            while i < len(groups):
+                if (pair_on and i + 1 < len(groups)
+                        and groups[i][0] == groups[i + 1][0]):
+                    pa, pb = _pair_groups(
+                        groups[i][1], groups[i + 1][1], reset, tabs_j,
+                        groups[i][0], S, L, bstep)
+                    parts += [pa, pb]
+                    i += 2
+                else:
+                    parts.append(call_one(groups[i][1]))
+                    i += 1
             carry = tuple(
                 jnp.concatenate([p[0][k] for p in parts])
                 for k in range(6))
@@ -865,6 +890,22 @@ def encode_lanes_raw(plan: LanePlan, md, qd, lane_counts, base,
         ys = tuple(jnp.concatenate([p[1][k] for p in parts], axis=1)
                    for k in range(4))
     return _finish_lanes(carry, ys, W, timings, t_seg)
+
+
+@partial(jax.jit, static_argnames=("W", "S", "L", "bstep"))
+def _pair_groups(sga, sgb, reset, tabs_j, W, S, L, bstep):
+    """Two equal-width lane-group kernel calls in ONE jitted
+    computation so XLA overlaps their pipelines (measured 1.14x at
+    production table scale, 1.72x on small tables —
+    build/onchip_perf.json concurrent2 legs). Module-level so the
+    executable caches across encodes."""
+    from qvz_tpu.ops import coder_pallas
+
+    def one(sg):
+        return coder_pallas.fused_scan_tables(
+            sg + (reset,), tabs_j, W, S, L, bstep=bstep)
+
+    return one(sga), one(sgb)
 
 
 def pipeline_chunks() -> int:

@@ -381,15 +381,14 @@ def _kernel3(shigh_ref, slow_ref, colmap_ref,
 
 def batch_steps() -> int:
     """Coding steps sharing one counts-table pass (QVZ_TPU_CODER_BATCH).
-    Default 1 since the round-5 packed relayout: sharing the chunk
-    load across steps no longer pays (the sweep issues ~1 VMEM-operand
-    op/cycle regardless — vpu_microbench codermix vs codermix_selb4)
-    while the O(B^2) intra-batch pair corrections still cost; the v5e
-    sweep measured b=1 196.9 / b=2 195.8 / b=4 192.8 / b=8 185.2
-    Msym/s (build/onchip_perf.json, byte-parity asserted per leg).
-    Round 4's b=4 default was an artifact of the half-padded tile
-    layout."""
-    b = int(os.environ.get("QVZ_TPU_CODER_BATCH", "1"))
+    Default 2 since the round-5 packed relayout: the clean v5e sweep
+    (build/onchip_perf.json, byte-parity asserted per leg, quiet host)
+    measured b=1 231.7 / b=2 251.2 / b=4 216.8 / b=8 213.2 Msym/s —
+    one shared chunk load still helps at B=2 (a single O(1) pair-
+    correction term) while larger batches lose to the O(B^2)
+    corrections and extra live temporaries; round 4's b=4 default was
+    an artifact of the half-padded tile layout."""
+    b = int(os.environ.get("QVZ_TPU_CODER_BATCH", "2"))
     if b < 1 or _BS % b:
         raise ValueError(f"QVZ_TPU_CODER_BATCH must divide {_BS}: {b}")
     return b
@@ -429,7 +428,7 @@ def fused_scan_tables(streams, tables, W, S, L, interpret=False,
     Returns the same (carry, ys) contract as the XLA scan's [:6]."""
     if use_totals() and len(tables) >= 5 and tables[3] is not None:
         ttabs = (tables[3], tables[4])
-        m_pad = int(np.asarray(tables[3]).shape[1])
+        m_pad = int(tables[3].shape[1])
     else:
         ttabs, m_pad = None, 0
     sb_tab = tables[5] if len(tables) >= 6 and use_sblow() else None

@@ -301,6 +301,87 @@ def main():
 
     safe(concurrency_leg, "concurrent2_W512")
 
+    # same probe at PRODUCTION table scale: the small-table overlap
+    # (1.72x) can vanish when each kernel's VMEM working set (~11 MB
+    # of 16) cannot co-reside — measure before wiring group pairing
+    def concurrency_prod(tag):
+        if tag in results["legs"] and "error" not in results["legs"][tag]:
+            print(tag, "cached", flush=True)
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from qvz_tpu.ops.coder_pallas import fused_scan_tables
+
+        W, L2, cols2 = 512, 512, 16
+        npc, card = 74, 15                  # S = 1110 like the bench
+        Sv = npc * card
+        nm = cols2 * npc + 1
+        mkey = np.full((cols2, Sv), -1, np.int32)
+        qsk = np.zeros((cols2, Sv), np.int32)
+        sb = np.zeros(nm, np.int32)
+        for c_ in range(cols2):
+            for j in range(npc):
+                m = 1 + c_ * npc + j
+                sb[m] = j * card
+                mkey[c_, j * card:(j + 1) * card] = m
+                qsk[c_, j * card:(j + 1) * card] = np.arange(card)
+        icc = np.ones((cols2, Sv), np.int32)
+        kq = np.where(mkey >= 0, mkey.astype(np.int64) * 128 + qsk,
+                      -1).astype(np.int32)
+        g = sb + card
+        mp = 8 * ((npc + 7) // 8)
+        tmk = np.full((cols2, mp), -1, np.int32)
+        tin = np.zeros((cols2, mp), np.int32)
+        for c_ in range(cols2):
+            tmk[c_, :npc] = 1 + c_ * npc + np.arange(npc)
+            tin[c_, :npc] = card
+        tb = (kq, icc, g, tmk, tin, sb)
+        T2 = cols2 * L2
+
+        def mkstreams(seed):
+            r = np.random.default_rng(seed)
+            colx = np.repeat(np.arange(cols2), L2)
+            mloc = r.integers(0, npc, (T2, W)).astype(np.int32)
+            mid = (1 + colx[:, None] * npc + mloc).astype(np.int32)
+            qsv = r.integers(0, card, (T2, W)).astype(np.int32)
+            return (jnp.asarray(mid), jnp.asarray(qsv),
+                    jnp.zeros((T2, W), jnp.uint32),
+                    jnp.ones((T2, W), jnp.uint32),
+                    jnp.ones((T2, W), jnp.uint32),
+                    jnp.asarray((np.arange(T2) % L2) == 0))
+
+        s1, s2 = mkstreams(1), mkstreams(2)
+
+        def one(st):
+            return fused_scan_tables(st, tb, W, Sv, L2)
+
+        two = jax.jit(lambda a, b: (one(a), one(b)))
+
+        def fence(r):
+            np.asarray(r[0][0].reshape(-1)[:1])
+
+        fence(one(s1))
+        t0 = time.perf_counter()
+        fence(one(s1))
+        t_one = time.perf_counter() - t0
+        ra, rb = two(s1, s2)
+        fence(ra)
+        t0 = time.perf_counter()
+        ra, rb = two(s1, s2)
+        fence(ra)
+        np.asarray(rb[0][0].reshape(-1)[:1])
+        t_two = time.perf_counter() - t0
+        leg = {"S": Sv, "one_kernel_s": round(t_one, 4),
+               "two_kernels_one_jit_s": round(t_two, 4),
+               "overlap_x": round(2 * t_one / t_two, 2)
+               if t_two else None}
+        results["legs"][tag] = leg
+        save()
+        print(tag, json.dumps(leg), flush=True)
+
+    safe(concurrency_prod, "concurrent2_W512_S1110")
+
     results["done"] = True
     save()
     print("sweep complete", flush=True)
