@@ -186,6 +186,21 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
         data_t = data.T
     draws_t = jnp.asarray(np.ascontiguousarray(draws.T))
 
+    from qvz_tpu.ops import quantize_pallas as qp
+    if qp.use_pallas_quantize() and not _use_mxu_variant():
+        # Mosaic sweep kernel (round 5): the XLA gather scan measured
+        # ~10 Msym/s on the v5e — 25x under the coder kernel — and
+        # became the device pipeline's dominant phase; the kernel's
+        # static-table sweeps run at coder-kernel rates. Bit-identical
+        # (tests/test_pallas.py + on-chip container parity).
+        cached = getattr(tables, "_qp_tabs", None)
+        if cached is None:
+            cached = qp.QuantTables(tables)
+            tables._qp_tabs = cached
+        model_ids, qs, qv = qp.quantize_pallas(
+            cached, data_t, draws_t, cluster_ids, n)
+        return model_ids, qs, qv, data_t
+
     if _use_mxu_variant():
         n_clusters = tables.n_clusters
         cached = getattr(tables, "_mxu_cols", None)

@@ -1,0 +1,297 @@
+"""Mosaic (Pallas) kernel for the batched quantization pass.
+
+Why: the XLA formulations of the quantize scan (per-column gathers and
+the one-hot MXU rewrite, ops/quantize.py) both measured ~9-12 Msym/s
+on the v5e at the bench shape — 25x slower than the round-5 coder
+kernel, making quantize the device pipeline's dominant phase (the
+round-2/3 "gathers are fast" note was a mis-fenced measurement: the
+remote-attached backend's block_until_ready returns early, the same
+gotcha bench.py documents). Reference semantics: the per-line
+quantizer selection + application of src/qv_compressor.c:76-136.
+
+Design (quantize is the coder kernel's easier sibling — the tables
+are STATIC, so there are no updates and every lookup is a masked
+sweep in the coder kernel's proven lane-replicated form):
+
+  lanes  = READS, tiled (RB, 8, 128) = RB*1024 reads per invocation;
+  grid   = columns (the context recursion is sequential in columns,
+           embarrassingly parallel over reads);
+  prev   = previous column's reconstruction, carried in VMEM scratch;
+  tables = per-column row arrays, lane-replicated to (rows, 8, 128)
+           XLA-side and DMA'd into VMEM scratch per column — the bnd
+           and qvt sweeps SHARE one buffer (sequential DMAs bracket
+           their sweeps), so the working set stays well under VMEM:
+
+  1. qr2[cluster*72 + prev]  = (pair p << 8) | qratio[p]
+     (qratio = floor(ratio*128) can be 128 — 8 bits, codebook.c:156)
+     — the ctx lookup (codebook.c:162's context) FOLDED into the
+     qratio row at table-build time; swept by dense row-index compare
+     against broadcasted_iota.
+  2. bnd rows: key = pc*256 + boundary_sym for every symbol where the
+     quantizer's output state increments (pc = 2*pair + choice).
+     qs(sym) for a monotone step quantizer = #boundaries <= sym, so
+       qs = sum_rows [ (pc*256 + sym) - key  u<  128 ]
+     — ONE unsigned compare per row tests both same-pc and sym>=bval
+     (pc strides of 256 put any other pair's delta outside [0,128)).
+  3. qvt rows: value = (pc*128 + qs)*128 + qv — key and payload in one
+     int32; d = row - (pc*128+qs)*128 lands in [0,128) exactly on the
+     matching row and IS the reconstruction value:
+       qv = sum_rows where(d u< 128, d, 0).
+
+Bit-exactness: every operation is exact int32 arithmetic identical to
+the gather path's; tests assert element equality vs _quantize_device
+(interpret mode) and container byte-parity on the real chip.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qvz_tpu.constants import ALPHABET_SIZE
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+_LANE = 128
+_RB = 64                 # lane-tile rows per invocation (64k reads)
+_TC = 128                # table rows per sweep chunk
+
+
+class QuantTables:
+    """Per-Tables packed row arrays for the kernel (host numpy)."""
+
+    def __init__(self, tables):
+        A = ALPHABET_SIZE
+        C, cols = int(tables.n_clusters), int(tables.columns)
+        pb = np.asarray(tables.pair_base,
+                        dtype=np.int64).reshape(C, cols)
+        ctxmap = np.clip(
+            np.asarray(tables.ctxmap,
+                       dtype=np.int64).reshape(C, cols, A), 0, None)
+        qratio = np.asarray(tables.qratio, dtype=np.int64)
+        qs_map = np.asarray(tables.qs_map).reshape(-1, A)
+        qv_map = np.asarray(tables.qv_map).reshape(-1, A)
+        n_pairs = int(tables.n_pairs)
+        nxt = np.append(pb.reshape(-1)[1:], n_pairs)
+        nctx = (nxt - pb.reshape(-1)).reshape(C, cols)
+
+        # 1. dense (cluster*72 + prev) -> (p << 8) | qratio[p]
+        p_of = pb[:, :, None] + ctxmap                  # (C, cols, A)
+        qr2 = ((p_of << 8) | qratio[p_of]).transpose(1, 0, 2).reshape(
+            cols, C * A).astype(np.int32)
+
+        # 2./3. per-column boundary and state-value rows
+        bnd_cols, qv_cols = [], []
+        for col in range(cols):
+            bnd, qvr = [], []
+            for cl in range(C):
+                for p in range(int(pb[cl, col]),
+                               int(pb[cl, col]) + int(nctx[cl, col])):
+                    for ch in (0, 1):
+                        pc = 2 * p + ch
+                        qsr = qs_map[pc].astype(np.int64)
+                        qvr_m = qv_map[pc].astype(np.int64)
+                        steps = np.nonzero(np.diff(qsr) > 0)[0] + 1
+                        bnd.extend(pc * 256 + steps)
+                        card = int(qsr.max()) + 1
+                        first = np.searchsorted(qsr, np.arange(card))
+                        qvr.extend((pc * 128 + np.arange(card)) * 128
+                                   + qvr_m[first])
+            bnd_cols.append(np.asarray(bnd, dtype=np.int64))
+            qv_cols.append(np.asarray(qvr, dtype=np.int64))
+        nb = np.array([len(b) for b in bnd_cols], dtype=np.int32)
+        sv = np.array([len(v) for v in qv_cols], dtype=np.int32)
+
+        # pad table widths to sweep chunks; pad rows are sweep-inert
+        # (bnd sentinel 1<<29 and qvt -1 never match, qr2 pad rows sit
+        # above every reachable dense index)
+        def padw(x):
+            return -(-max(x, 8) // _TC) * _TC
+
+        nb_pad = padw(int(nb.max()) if cols else 8)
+        sv_pad = padw(int(sv.max()) if cols else 8)
+        rc_pad = padw(C * A)
+        bnd_t = np.full((cols, nb_pad), 1 << 29, dtype=np.int32)
+        qvt_t = np.full((cols, sv_pad), -1, dtype=np.int32)
+        qr2_t = np.zeros((cols, rc_pad), dtype=np.int32)
+        qr2_t[:, : C * A] = qr2
+        for col in range(cols):
+            bnd_t[col, : nb[col]] = bnd_cols[col]
+            qvt_t[col, : sv[col]] = qv_cols[col]
+        self.qr2, self.bnd, self.qvt = qr2_t, bnd_t, qvt_t
+        self.nb, self.sv = nb, sv
+        self.RC = C * A
+        self.C = C
+
+
+def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
+             qr2_ref, bnd_ref, qvt_ref,
+             mid_ref, qs_ref, qv_ref,
+             prev_ref, qrbuf_ref, tabbuf_ref, sem):
+    """Tables arrive lane-replicated (cols, rows, 8, 128); the current
+    column's qr table and bnd table are DMA'd up front, and the qvt
+    table re-uses the big buffer after the bnd sweep (sequential DMAs
+    keep the VMEM working set at one big table)."""
+    i = pl.program_id(0)
+
+    cp_qr = pltpu.make_async_copy(qr2_ref.at[i], qrbuf_ref, sem.at[0])
+    cp_bnd = pltpu.make_async_copy(bnd_ref.at[i],
+                                   tabbuf_ref.at[pl.ds(0, bnd_ref.shape[1])],
+                                   sem.at[1])
+    cp_qr.start()
+    cp_bnd.start()
+
+    @pl.when(i == 0)
+    def _():
+        prev_ref[...] = jnp.zeros_like(prev_ref)
+
+    data = data_ref[0].astype(_I32)
+    draw = draws_ref[0].astype(_I32)
+    dq = ckey_ref[...] + prev_ref[...]          # cluster*72 + prev qv
+    zl = jnp.zeros_like(data)
+
+    cp_qr.wait()
+
+    # 8-rows-per-iteration sweeps: one dynamic slice pulls an (8,8,128)
+    # group of replicated table rows, then 8 STATIC sub-rows broadcast
+    # against the whole (RB,8,128) lane block (free major-axis
+    # broadcasts) — a row-at-a-time form measured ~8x slower on-chip
+    # (per-iteration dynamic-slice + loop overhead dominated)
+    def qr_row8(r8, acc):
+        ch = qrbuf_ref[pl.ds(r8 * 16, 16)]
+        dqm = dq - r8 * 16
+        for j in range(16):
+            acc = acc + jnp.where(dqm == j, ch[j][None], 0)
+        return acc
+
+    acc = jax.lax.fori_loop(0, qrbuf_ref.shape[0] // 16, qr_row8, zl)
+    p = jax.lax.shift_right_logical(acc, jnp.int32(8))
+    qrv = acc & 255
+    pc = p * 2 + (draw >= qrv).astype(_I32)
+
+    lane_b = pc * 256 + data
+    cp_bnd.wait()
+
+    def bnd_row8(r8, q):
+        ch = tabbuf_ref[pl.ds(r8 * 16, 16)]
+        for j in range(16):
+            d = lane_b - ch[j][None]
+            q = q + (d.astype(_U32) < jnp.uint32(128)).astype(_I32)
+        return q
+
+    qs = jax.lax.fori_loop(0, (nb_ref[i] + 15) // 16, bnd_row8, zl)
+
+    cp_qv = pltpu.make_async_copy(qvt_ref.at[i],
+                                  tabbuf_ref.at[pl.ds(0, qvt_ref.shape[1])],
+                                  sem.at[1])
+    cp_qv.start()
+    cp_qv.wait()
+
+    lane_q = (pc * 128 + qs) * 128
+    zc = jnp.zeros_like(data)
+
+    def qv_row8(r8, acc):
+        ch = tabbuf_ref[pl.ds(r8 * 16, 16)]
+        for j in range(16):
+            d = ch[j][None] - lane_q
+            acc = acc + jnp.where(d.astype(_U32) < jnp.uint32(128), d,
+                                  zc)
+        return acc
+
+    qv = jax.lax.fori_loop(0, (sv_ref[i] + 15) // 16, qv_row8, zc)
+
+    prev_ref[...] = qv
+    mid_ref[0] = 1 + pc
+    qs_ref[0] = qs
+    qv_ref[0] = qv
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
+                    interpret=False):
+    """One invocation: (cols, RB, 8, 128) data/draws blocks; tables
+    (cols, rows, 8, 128) lane-replicated."""
+    cols = data_b.shape[0]
+    rb = data_b.shape[1]
+    big = max(bnd.shape[1], qvt.shape[1])
+    blk = pl.BlockSpec((1, rb, 8, _LANE), lambda i, *_: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cols,),
+        in_specs=[blk, blk,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  tab, tab, tab],
+        out_specs=(blk, blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((rb, 8, _LANE), _I32),            # prev qv
+            pltpu.VMEM((qr2.shape[1], 8, _LANE), _I32),  # qr table
+            pltpu.VMEM((big, 8, _LANE), _I32),           # bnd/qvt table
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = jax.ShapeDtypeStruct((cols, rb, 8, _LANE), _I32)
+    return pl.pallas_call(
+        _qkernel,
+        grid_spec=grid_spec,
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(nb, sv, data_b, draws_b, ckey, qr2, bnd, qvt)
+
+
+def use_pallas_quantize() -> bool:
+    """QVZ_TPU_QUANTIZE_PALLAS: 1 (default) = Mosaic kernel on
+    accelerator backends; 0 = XLA gather scan; interpret = kernel via
+    the Pallas interpreter (CPU equivalence tests)."""
+    flag = os.environ.get("QVZ_TPU_QUANTIZE_PALLAS", "1")
+    if flag == "0":
+        return False
+    return flag == "interpret" or jax.default_backend() != "cpu"
+
+
+def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
+    """(model_ids, qs, qv) each (cols, N) int32 device arrays.
+
+    data_t/draws_t: (cols, N) device arrays (any int dtype); the N
+    axis is tiled into (RB, 8, 128) invocations of _quantize_block,
+    each carrying its own column recursion (reads are independent)."""
+    interp = os.environ.get("QVZ_TPU_QUANTIZE_PALLAS") == "interpret"
+    cols = data_t.shape[0]
+    span = _RB * 8 * _LANE
+    n_pad = -(-n // span) * span
+    if cluster_ids is None:
+        ck_full = jnp.zeros(n_pad, _I32)
+    else:
+        ck_full = jnp.pad(jnp.asarray(cluster_ids).astype(_I32) * 72,
+                          (0, n_pad - n))
+
+    def pad_t(a):
+        a = a.astype(_I32)
+        return jnp.pad(a, ((0, 0), (0, n_pad - n)))
+
+    def repl(a):
+        a = jnp.asarray(a)
+        return jnp.broadcast_to(a[:, :, None, None],
+                                (cols, a.shape[1], 8, _LANE))
+
+    data_p, draws_p = pad_t(data_t), pad_t(draws_t)
+    nb = jnp.asarray(qt.nb)
+    sv = jnp.asarray(qt.sv)
+    qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
+    outs = []
+    for s0 in range(0, n_pad, span):
+        db = data_p[:, s0:s0 + span].reshape(cols, _RB, 8, _LANE)
+        rb = draws_p[:, s0:s0 + span].reshape(cols, _RB, 8, _LANE)
+        ck = ck_full[s0:s0 + span].reshape(_RB, 8, _LANE)
+        outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
+                                    interpret=interp))
+    cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],
+                           axis=1)[:, :n] for k in range(3)]
+    return cat[0], cat[1], cat[2]

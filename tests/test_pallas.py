@@ -218,3 +218,39 @@ def test_coder_pallas_packed_geometries(W):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(ys_ref, ys_p):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_pallas_matches_gather(monkeypatch):
+    """Interpret-mode Mosaic quantize kernel == the XLA gather scan,
+    element-exact, including multi-cluster tables and the column
+    context recursion (compiled parity is the on-chip container
+    gates + the device CLI leg)."""
+    import qvz_tpu.native
+    qvz_tpu.native.load()
+    from qvz_tpu.constants import DISTORTION_MSE, MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize as q
+    from qvz_tpu.ops import quantize_pallas as qp
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.spec import stats as np_stats
+
+    rng = np.random.default_rng(41)
+    n, cols, n_cl = 3000, 24, 2
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    clusters = (np.arange(n) % n_cl).astype(np.uint8)
+    c0, cond = np_stats.conditional_counts(data, clusters, n_cl)
+    design = rt.Design(c0, cond, MODE_RATIO, 0.5,
+                       make_matrix(DISTORTION_MSE))
+    tables = design.tables()
+    draws = rng.integers(0, 128, size=(n, cols)).astype(np.uint8)
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "0")
+    m0, s0, v0, _ = q.quantize_t_device(tables, data, clusters, draws)
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "interpret")
+    m1, s1, v1, _ = q.quantize_t_device(tables, data, clusters, draws)
+    assert np.array_equal(np.asarray(m0), np.asarray(m1))
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
