@@ -175,13 +175,15 @@ def main() -> None:
 
         # production sharded mode (QVZ2, one stream per CPU): identical
         # reconstruction, independently decodable parallel streams.
-        # Best-of-2 to damp noisy-neighbor variance on shared hosts (the
-        # reference gets the same treatment below).
+        # Best-of-5 to damp noisy-neighbor variance on shared hosts
+        # (driver-captured headlines ranged 47.7-65.4 MB/s across
+        # round-5 windows at loadavg < 1; the samples + loadavg land
+        # in telemetry so the spread stays interpretable).
         enc_samples, dec_samples = [], []
         t_enc, t_dec, s_stats = run_mode(0)
         enc_samples.append(round(t_enc, 3))
         dec_samples.append(round(t_dec, 3))
-        for _ in range(2):
+        for _ in range(4):
             e2, d2, _ = run_mode(0)
             enc_samples.append(round(e2, 3))
             dec_samples.append(round(d2, 3))

@@ -204,9 +204,14 @@ os.environ['QVZ_TPU_CODER_SBLOW'] = '0'
 dev0 = enc.encode(data, dist, use_jax=True, **kw)
 assert host.compressed == dev0.compressed, 'sblow-off divergence'
 print('device coder F=2 sblow-off parity on-chip OK')
+os.environ['QVZ_TPU_QUANTIZE_PALLAS'] = '0'
+devg = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == devg.compressed, 'gather-quantize divergence'
+print('quantize kernel-vs-gather parity on-chip OK')
 """)
     assert "device coder F=2 sblow-on parity on-chip OK" in out
     assert "device coder F=2 sblow-off parity on-chip OK" in out
+    assert "quantize kernel-vs-gather parity on-chip OK" in out
 
 
 def test_device_decode_parity_on_chip():
