@@ -59,7 +59,10 @@ from qvz_tpu.constants import ALPHABET_SIZE
 _I32 = jnp.int32
 _U32 = jnp.uint32
 _LANE = 128
-_RB = 64                 # lane-tile rows per invocation (64k reads)
+def _rb() -> int:
+    # lane-tile rows per invocation (x1024 reads); 64 = 64k reads.
+    # QVZ_TPU_QUANT_RB tunes block size vs invocation count.
+    return int(os.environ.get("QVZ_TPU_QUANT_RB", "64"))
 _TC = 128                # table rows per sweep chunk
 
 
@@ -264,7 +267,8 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     each carrying its own column recursion (reads are independent)."""
     interp = os.environ.get("QVZ_TPU_QUANTIZE_PALLAS") == "interpret"
     cols = data_t.shape[0]
-    span = _RB * 8 * _LANE
+    rb_rows = _rb()
+    span = rb_rows * 8 * _LANE
     n_pad = -(-n // span) * span
     if cluster_ids is None:
         ck_full = jnp.zeros(n_pad, _I32)
@@ -287,9 +291,9 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
     outs = []
     for s0 in range(0, n_pad, span):
-        db = data_p[:, s0:s0 + span].reshape(cols, _RB, 8, _LANE)
-        rb = draws_p[:, s0:s0 + span].reshape(cols, _RB, 8, _LANE)
-        ck = ck_full[s0:s0 + span].reshape(_RB, 8, _LANE)
+        db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
+        rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
+        ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
         outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
                                     interpret=interp))
     cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],

@@ -85,6 +85,14 @@ def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
     counts0 = np.zeros((n_clusters, A), dtype=np.int64)
     cond = np.zeros((n_clusters, cols - 1, A, A), dtype=np.int64)
     is_dev = not isinstance(data, np.ndarray)
+    # The reads-axis chunking exists to bound the one-hot matmul's
+    # int32 accumulators; the CROSS-chunk sums stay exact in int32 for
+    # any n < 2^31 (a cell cannot exceed n), so accumulate them ON
+    # DEVICE and fetch once — per-chunk d2h of the 2 MB conditional
+    # tensor was the device stats phase's dominant cost on narrow
+    # links (~0.15 s per chunk at the measured 14 MB/s tunnel).
+    dev_acc = n < (1 << 31)
+    acc0 = accd = None
     for s in range(0, n, _CHUNK):
         e = min(n, s + _CHUNK)
         if is_dev:
@@ -108,7 +116,17 @@ def conditional_counts(data: np.ndarray, clusters: np.ndarray | None,
                 num_segments=n_clusters * A).reshape(n_clusters, A)
         else:
             c0, cd = _hist_device(dt, cl, n_clusters)
-        counts0 += np.asarray(c0, dtype=np.int64)
-        cd = np.asarray(cd, dtype=np.int64)  # (cols-1, C*72, 72)
-        cond += cd.reshape(cols - 1, n_clusters, A, A).transpose(1, 0, 2, 3)
+        if dev_acc:
+            acc0 = c0 if acc0 is None else acc0 + c0
+            accd = cd if accd is None else accd + cd
+        else:
+            counts0 += np.asarray(c0, dtype=np.int64)
+            cd = np.asarray(cd, dtype=np.int64)  # (cols-1, C*72, 72)
+            cond += cd.reshape(cols - 1, n_clusters, A,
+                               A).transpose(1, 0, 2, 3)
+    if dev_acc and acc0 is not None:
+        counts0 += np.asarray(acc0, dtype=np.int64)
+        cdh = np.asarray(accd, dtype=np.int64)
+        cond += cdh.reshape(cols - 1, n_clusters, A,
+                            A).transpose(1, 0, 2, 3)
     return counts0, cond
