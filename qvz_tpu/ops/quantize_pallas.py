@@ -161,19 +161,30 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
 
     cp_qr.wait()
 
-    # 8-rows-per-iteration sweeps: one dynamic slice pulls an (8,8,128)
-    # group of replicated table rows, then 8 STATIC sub-rows broadcast
-    # against the whole (RB,8,128) lane block (free major-axis
-    # broadcasts) — a row-at-a-time form measured ~8x slower on-chip
-    # (per-iteration dynamic-slice + loop overhead dominated)
-    def qr_row8(r8, acc):
+    # 16-rows-per-iteration sweeps over FOUR independent accumulators:
+    # one dynamic slice pulls a (16,8,128) group of replicated table
+    # rows, then 16 STATIC sub-rows broadcast against the whole
+    # (RB,8,128) lane block (free major-axis broadcasts). Measured
+    # negative results shaping this form: row-at-a-time (dynamic slice
+    # per row) ran ~8x slower (slice+loop overhead), and a SINGLE
+    # accumulator ran ~2.7x under the issue regime — a ~2200-deep
+    # sequential add chain stalls on VPU result latency; striping the
+    # adds across 4 accumulators breaks the chain. (The stripe's
+    # measured delta sat within the tunnel-window noise — 2.10 s in a
+    # window where every phase ran ~25% slow vs 1.58-1.74 s earlier —
+    # kept on the latency-chain argument; bit-exact either way.)
+    def qr_row16(r8, accs):
         ch = qrbuf_ref[pl.ds(r8 * 16, 16)]
         dqm = dq - r8 * 16
+        accs = list(accs)
         for j in range(16):
-            acc = acc + jnp.where(dqm == j, ch[j][None], 0)
-        return acc
+            accs[j % 4] = accs[j % 4] + jnp.where(dqm == j,
+                                                  ch[j][None], 0)
+        return tuple(accs)
 
-    acc = jax.lax.fori_loop(0, qrbuf_ref.shape[0] // 16, qr_row8, zl)
+    a4 = jax.lax.fori_loop(0, qrbuf_ref.shape[0] // 16, qr_row16,
+                           (zl,) * 4)
+    acc = (a4[0] + a4[1]) + (a4[2] + a4[3])
     p = jax.lax.shift_right_logical(acc, jnp.int32(8))
     qrv = acc & 255
     pc = p * 2 + (draw >= qrv).astype(_I32)
@@ -181,14 +192,18 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
     lane_b = pc * 256 + data
     cp_bnd.wait()
 
-    def bnd_row8(r8, q):
+    def bnd_row16(r8, qa):
         ch = tabbuf_ref[pl.ds(r8 * 16, 16)]
+        qa = list(qa)
         for j in range(16):
             d = lane_b - ch[j][None]
-            q = q + (d.astype(_U32) < jnp.uint32(128)).astype(_I32)
-        return q
+            qa[j % 4] = qa[j % 4] + (d.astype(_U32)
+                                     < jnp.uint32(128)).astype(_I32)
+        return tuple(qa)
 
-    qs = jax.lax.fori_loop(0, (nb_ref[i] + 15) // 16, bnd_row8, zl)
+    q4 = jax.lax.fori_loop(0, (nb_ref[i] + 15) // 16, bnd_row16,
+                           (zl,) * 4)
+    qs = (q4[0] + q4[1]) + (q4[2] + q4[3])
 
     cp_qv = pltpu.make_async_copy(qvt_ref.at[i],
                                   tabbuf_ref.at[pl.ds(0, qvt_ref.shape[1])],
@@ -199,15 +214,18 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
     lane_q = (pc * 128 + qs) * 128
     zc = jnp.zeros_like(data)
 
-    def qv_row8(r8, acc):
+    def qv_row16(r8, accs):
         ch = tabbuf_ref[pl.ds(r8 * 16, 16)]
+        accs = list(accs)
         for j in range(16):
             d = ch[j][None] - lane_q
-            acc = acc + jnp.where(d.astype(_U32) < jnp.uint32(128), d,
-                                  zc)
-        return acc
+            accs[j % 4] = accs[j % 4] + jnp.where(
+                d.astype(_U32) < jnp.uint32(128), d, zc)
+        return tuple(accs)
 
-    qv = jax.lax.fori_loop(0, (sv_ref[i] + 15) // 16, qv_row8, zc)
+    v4 = jax.lax.fori_loop(0, (sv_ref[i] + 15) // 16, qv_row16,
+                           (zc,) * 4)
+    qv = (v4[0] + v4[1]) + (v4[2] + v4[3])
 
     prev_ref[...] = qv
     mid_ref[0] = 1 + pc
