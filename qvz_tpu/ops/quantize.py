@@ -197,9 +197,11 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
         if cached is None:
             cached = qp.QuantTables(tables)
             tables._qp_tabs = cached
-        model_ids, qs, qv = qp.quantize_pallas(
+        got = qp.quantize_pallas(
             cached, data_t, draws_t, cluster_ids, n)
-        return model_ids, qs, qv, data_t
+        if got is not None:  # None: tables bust the kernel VMEM model
+            model_ids, qs, qv = got
+            return model_ids, qs, qv, data_t
 
     if _use_mxu_variant():
         n_clusters = tables.n_clusters

@@ -27,16 +27,22 @@ sweep in the coder kernel's proven lane-replicated form):
      — the ctx lookup (codebook.c:162's context) FOLDED into the
      qratio row at table-build time; swept by dense row-index compare
      against broadcasted_iota.
-  2. bnd rows: key = pc*256 + boundary_sym for every symbol where the
-     quantizer's output state increments (pc = 2*pair + choice).
-     qs(sym) for a monotone step quantizer = #boundaries <= sym, so
-       qs = sum_rows [ (pc*256 + sym) - key  u<  128 ]
-     — ONE unsigned compare per row tests both same-pc and sym>=bval
-     (pc strides of 256 put any other pair's delta outside [0,128)).
-  3. qvt rows: value = (pc*128 + qs)*128 + qv — key and payload in one
-     int32; d = row - (pc*128+qs)*128 lands in [0,128) exactly on the
-     matching row and IS the reconstruction value:
-       qv = sum_rows where(d u< 128, d, 0).
+  2. MERGED state sweep (default form): one key/payload row pair per
+     quantizer STATE — key = pc*256 + first_sym(state) (pc = 2*pair +
+     choice), payload = 512 + (qv_state - qv_{state-1}).  A state
+     matches iff its key is within [lane_b - 127, lane_b] for
+     lane_b = pc*256 + sym (ONE unsigned compare: pc strides of 256
+     put other pairs' deltas outside [0,128)), i.e. the matching
+     states are exactly states 0..qs(sym), so
+       acc = sum_rows where(d u< 128, payload, 0)
+           = 512*(qs+1) + qv      (the qv deltas telescope)
+     and qs = (acc >> 9) - 1, qv = acc & 511 — both outputs from one
+     4-op/row sweep.  The earlier SPLIT form (kept as the VMEM
+     fallback and under QVZ_TPU_QUANT_MERGED=0) does the same with
+     two passes: bnd rows keyed on state-increment symbols (qs =
+     match count) then qvt rows keyed (pc*128+qs)*128 with the
+     reconstruction in the low 7 bits — ~1.7x the swept rows and a
+     serialized second-table DMA.
 
 Bit-exactness: every operation is exact int32 arithmetic identical to
 the gather path's; tests assert element equality vs _quantize_device
@@ -89,10 +95,18 @@ class QuantTables:
         qr2 = ((p_of << 8) | qratio[p_of]).transpose(1, 0, 2).reshape(
             cols, C * A).astype(np.int32)
 
-        # 2./3. per-column boundary and state-value rows
-        bnd_cols, qv_cols = [], []
+        # 2./3. per-column boundary and state-value rows (split form),
+        # plus the merged-form key/payload row pair: one row per
+        # quantizer STATE keyed pc*256 + first_sym(state), payload
+        # 512 + (qv_k - qv_{k-1}).  Sum over the u<128 window then
+        # yields BOTH outputs from one accumulator — the counts land
+        # in bits 9+ (qs = (acc >> 9) - 1, state 0 always matches
+        # since first_sym(0) = 0) and the qv deltas telescope to the
+        # last matching state's value in bits 0..8 (qv = acc & 511;
+        # exact: qv < 128 and card <= 72 so acc < 512*73).
+        bnd_cols, qv_cols, kt_cols, vt_cols = [], [], [], []
         for col in range(cols):
-            bnd, qvr = [], []
+            bnd, qvr, ktr, vtr = [], [], [], []
             for cl in range(C):
                 for p in range(int(pb[cl, col]),
                                int(pb[cl, col]) + int(nctx[cl, col])):
@@ -106,14 +120,19 @@ class QuantTables:
                         first = np.searchsorted(qsr, np.arange(card))
                         qvr.extend((pc * 128 + np.arange(card)) * 128
                                    + qvr_m[first])
+                        ktr.extend(pc * 256 + first)
+                        vtr.extend(512 + np.diff(qvr_m[first],
+                                                 prepend=0))
             bnd_cols.append(np.asarray(bnd, dtype=np.int64))
             qv_cols.append(np.asarray(qvr, dtype=np.int64))
+            kt_cols.append(np.asarray(ktr, dtype=np.int64))
+            vt_cols.append(np.asarray(vtr, dtype=np.int64))
         nb = np.array([len(b) for b in bnd_cols], dtype=np.int32)
         sv = np.array([len(v) for v in qv_cols], dtype=np.int32)
 
         # pad table widths to sweep chunks; pad rows are sweep-inert
-        # (bnd sentinel 1<<29 and qvt -1 never match, qr2 pad rows sit
-        # above every reachable dense index)
+        # (bnd/kt sentinel 1<<29 and qvt -1 never match, qr2 pad rows
+        # sit above every reachable dense index)
         def padw(x):
             return -(-max(x, 8) // _TC) * _TC
 
@@ -122,12 +141,17 @@ class QuantTables:
         rc_pad = padw(C * A)
         bnd_t = np.full((cols, nb_pad), 1 << 29, dtype=np.int32)
         qvt_t = np.full((cols, sv_pad), -1, dtype=np.int32)
+        kt_t = np.full((cols, sv_pad), 1 << 29, dtype=np.int32)
+        vt_t = np.zeros((cols, sv_pad), dtype=np.int32)
         qr2_t = np.zeros((cols, rc_pad), dtype=np.int32)
         qr2_t[:, : C * A] = qr2
         for col in range(cols):
             bnd_t[col, : nb[col]] = bnd_cols[col]
             qvt_t[col, : sv[col]] = qv_cols[col]
+            kt_t[col, : sv[col]] = kt_cols[col]
+            vt_t[col, : sv[col]] = vt_cols[col]
         self.qr2, self.bnd, self.qvt = qr2_t, bnd_t, qvt_t
+        self.kt, self.vt = kt_t, vt_t
         self.nb, self.sv = nb, sv
         self.RC = C * A
         self.C = C
@@ -233,17 +257,113 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
     qv_ref[0] = qv
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _qkernel_merged(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
+                    qr2_ref, kt_ref, vt_ref,
+                    mid_ref, qs_ref, qv_ref,
+                    prev_ref, qrbuf_ref, ktbuf_ref, vtbuf_ref, sem):
+    """Merged-sweep form (round-5 default): ONE pass over the per-state
+    key/payload row pair replaces the bnd + qvt passes — mean swept
+    rows drop from 128 + nb + sv (~1474 at the bench shape) to
+    128 + sv (~854) at 4 vector ops/row (sub, unsigned-cmp, select,
+    add; the split form's qvt rows cost ~5), and the serialized
+    second-table DMA disappears (all three DMAs start at kernel
+    entry).  The qr sweep is additionally BOUNDED to the block's
+    [min dq, max dq] 16-row groups: prev is a quantizer OUTPUT, so
+    the dense (cluster*72 + prev) indices concentrate in a narrow
+    band and most of the 128-row padded sweep is provably matchless.
+    Bit-exactness: acc = sum_{matching states k} (512 + qv_k -
+    qv_{k-1}) = 512*(qs+1) + qv exactly (see QuantTables)."""
+    i = pl.program_id(0)
+
+    cp_qr = pltpu.make_async_copy(qr2_ref.at[i], qrbuf_ref, sem.at[0])
+    cp_kt = pltpu.make_async_copy(kt_ref.at[i], ktbuf_ref, sem.at[1])
+    cp_vt = pltpu.make_async_copy(vt_ref.at[i], vtbuf_ref, sem.at[2])
+    cp_qr.start()
+    cp_kt.start()
+    cp_vt.start()
+
+    @pl.when(i == 0)
+    def _():
+        prev_ref[...] = jnp.zeros_like(prev_ref)
+
+    data = data_ref[0].astype(_I32)
+    draw = draws_ref[0].astype(_I32)
+    dq = ckey_ref[...] + prev_ref[...]          # cluster*72 + prev qv
+    zl = jnp.zeros_like(data)
+
+    cp_qr.wait()
+
+    g_lo = jnp.min(dq) // 16
+    g_hi = jnp.max(dq) // 16 + 1
+
+    def qr_row16(r8, accs):
+        ch = qrbuf_ref[pl.ds(r8 * 16, 16)]
+        dqm = dq - r8 * 16
+        accs = list(accs)
+        for j in range(16):
+            accs[j % 4] = accs[j % 4] + jnp.where(dqm == j,
+                                                  ch[j][None], 0)
+        return tuple(accs)
+
+    a4 = jax.lax.fori_loop(g_lo, g_hi, qr_row16, (zl,) * 4)
+    acc = (a4[0] + a4[1]) + (a4[2] + a4[3])
+    p = jax.lax.shift_right_logical(acc, jnp.int32(8))
+    qrv = acc & 255
+    pc = p * 2 + (draw >= qrv).astype(_I32)
+
+    lane_b = pc * 256 + data
+    cp_kt.wait()
+    cp_vt.wait()
+
+    def m_row16(r8, accs):
+        chk = ktbuf_ref[pl.ds(r8 * 16, 16)]
+        chv = vtbuf_ref[pl.ds(r8 * 16, 16)]
+        accs = list(accs)
+        for j in range(16):
+            d = lane_b - chk[j][None]
+            m = d.astype(_U32) < jnp.uint32(128)
+            accs[j % 4] = accs[j % 4] + jnp.where(m, chv[j][None], 0)
+        return tuple(accs)
+
+    m4 = jax.lax.fori_loop(0, (sv_ref[i] + 15) // 16, m_row16,
+                           (zl,) * 4)
+    am = (m4[0] + m4[1]) + (m4[2] + m4[3])
+    qs = jax.lax.shift_right_logical(am, jnp.int32(9)) - 1
+    qv = am & 511
+
+    prev_ref[...] = qv
+    mid_ref[0] = 1 + pc
+    qs_ref[0] = qs
+    qv_ref[0] = qv
+
+
+@partial(jax.jit, static_argnames=("interpret", "merged"))
 def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
-                    interpret=False):
+                    interpret=False, merged=False):
     """One invocation: (cols, RB, 8, 128) data/draws blocks; tables
     (cols, rows, 8, 128) lane-replicated."""
     cols = data_b.shape[0]
     rb = data_b.shape[1]
-    big = max(bnd.shape[1], qvt.shape[1])
     blk = pl.BlockSpec((1, rb, 8, _LANE), lambda i, *_: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pl.ANY)
+    if merged:
+        # bnd/qvt args carry the kt/vt key/payload pair here
+        tabs = [
+            pltpu.VMEM((qr2.shape[1], 8, _LANE), _I32),  # qr table
+            pltpu.VMEM((bnd.shape[1], 8, _LANE), _I32),  # key rows
+            pltpu.VMEM((qvt.shape[1], 8, _LANE), _I32),  # payload rows
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+        kern = _qkernel_merged
+    else:
+        big = max(bnd.shape[1], qvt.shape[1])
+        tabs = [
+            pltpu.VMEM((qr2.shape[1], 8, _LANE), _I32),  # qr table
+            pltpu.VMEM((big, 8, _LANE), _I32),           # bnd/qvt table
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kern = _qkernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cols,),
@@ -251,16 +371,11 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   tab, tab, tab],
         out_specs=(blk, blk, blk),
-        scratch_shapes=[
-            pltpu.VMEM((rb, 8, _LANE), _I32),            # prev qv
-            pltpu.VMEM((qr2.shape[1], 8, _LANE), _I32),  # qr table
-            pltpu.VMEM((big, 8, _LANE), _I32),           # bnd/qvt table
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=[pltpu.VMEM((rb, 8, _LANE), _I32)] + tabs,
     )
     out = jax.ShapeDtypeStruct((cols, rb, 8, _LANE), _I32)
     return pl.pallas_call(
-        _qkernel,
+        kern,
         grid_spec=grid_spec,
         out_shape=(out, out, out),
         interpret=interpret,
@@ -286,6 +401,29 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     interp = os.environ.get("QVZ_TPU_QUANTIZE_PALLAS") == "interpret"
     cols = data_t.shape[0]
     rb_rows = _rb()
+    # VMEM fit model (rows of (8,128) int32 = 4 KB each): the current
+    # column's tables live whole in scratch, plus the lane block's
+    # streams (prev + ckey + double-buffered data/draws/3 outputs
+    # ~ 13*rb rows).  Scoped VMEM is 16 MB with ~1.5 MB of Mosaic
+    # overhead (measured: a 3904-row config allocated 17.52 MB), so
+    # budget 3300 rows.  The merged single-sweep form (default) needs
+    # key+payload resident at once (2*sv_pad); fall back to the split
+    # shared-buffer form (max(nb,sv)) when that busts, shrinking the
+    # lane block next, and to the XLA gather path (return None) when
+    # even rb=8 cannot fit — huge multi-cluster high-rate tables.
+    merged = os.environ.get("QVZ_TPU_QUANT_MERGED", "1") == "1"
+    qr_pad = qt.qr2.shape[1]
+    sv_pad = qt.qvt.shape[1]
+    nb_pad = qt.bnd.shape[1]
+    _BUDGET = 3300
+    if merged and qr_pad + 2 * sv_pad + 13 * rb_rows > _BUDGET:
+        merged = False
+    if not merged:
+        tab_rows = max(nb_pad, sv_pad)
+        while qr_pad + tab_rows + 13 * rb_rows > _BUDGET and rb_rows > 8:
+            rb_rows //= 2
+        if qr_pad + tab_rows + 13 * rb_rows > _BUDGET:
+            return None
     span = rb_rows * 8 * _LANE
     n_pad = -(-n // span) * span
     if cluster_ids is None:
@@ -306,14 +444,17 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     data_p, draws_p = pad_t(data_t), pad_t(draws_t)
     nb = jnp.asarray(qt.nb)
     sv = jnp.asarray(qt.sv)
-    qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
+    if merged:
+        qr2, bnd, qvt = repl(qt.qr2), repl(qt.kt), repl(qt.vt)
+    else:
+        qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
     outs = []
     for s0 in range(0, n_pad, span):
         db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
         rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
         ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
         outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
-                                    interpret=interp))
+                                    interpret=interp, merged=merged))
     cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],
                            axis=1)[:, :n] for k in range(3)]
     return cat[0], cat[1], cat[2]

@@ -250,7 +250,10 @@ def test_quantize_pallas_matches_gather(monkeypatch):
     monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "0")
     m0, s0, v0, _ = q.quantize_t_device(tables, data, clusters, draws)
     monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "interpret")
-    m1, s1, v1, _ = q.quantize_t_device(tables, data, clusters, draws)
-    assert np.array_equal(np.asarray(m0), np.asarray(m1))
-    assert np.array_equal(np.asarray(s0), np.asarray(s1))
-    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    for form in ("1", "0"):   # merged single-sweep and split forms
+        monkeypatch.setenv("QVZ_TPU_QUANT_MERGED", form)
+        m1, s1, v1, _ = q.quantize_t_device(tables, data, clusters,
+                                            draws)
+        assert np.array_equal(np.asarray(m0), np.asarray(m1)), form
+        assert np.array_equal(np.asarray(s0), np.asarray(s1)), form
+        assert np.array_equal(np.asarray(v0), np.asarray(v1)), form

@@ -204,6 +204,11 @@ os.environ['QVZ_TPU_CODER_SBLOW'] = '0'
 dev0 = enc.encode(data, dist, use_jax=True, **kw)
 assert host.compressed == dev0.compressed, 'sblow-off divergence'
 print('device coder F=2 sblow-off parity on-chip OK')
+os.environ['QVZ_TPU_QUANT_MERGED'] = '0'
+devs = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == devs.compressed, 'split-quantize divergence'
+print('quantize split-form parity on-chip OK')
+del os.environ['QVZ_TPU_QUANT_MERGED']
 os.environ['QVZ_TPU_QUANTIZE_PALLAS'] = '0'
 devg = enc.encode(data, dist, use_jax=True, **kw)
 assert host.compressed == devg.compressed, 'gather-quantize divergence'
@@ -211,6 +216,7 @@ print('quantize kernel-vs-gather parity on-chip OK')
 """)
     assert "device coder F=2 sblow-on parity on-chip OK" in out
     assert "device coder F=2 sblow-off parity on-chip OK" in out
+    assert "quantize split-form parity on-chip OK" in out
     assert "quantize kernel-vs-gather parity on-chip OK" in out
 
 
