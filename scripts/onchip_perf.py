@@ -188,6 +188,66 @@ def main():
     for shards in (256, 1024):
         safe(encode_leg, f"coder_W{shards}_b{bb}", shards, bb)
 
+    # --- quantize kernel: split two-pass vs merged single-sweep form
+    # (round-5). Pure kernel rate, device-resident operands, the tiny
+    # d2h fence forcing completion (remote-attached block_until_ready
+    # returns early — the bench.py gotcha) ----------------------------
+    def quantize_leg(tag, merged):
+        if tag in results["legs"] and "error" not in results["legs"][tag]:
+            print(tag, "cached", flush=True)
+            return
+        import jax.numpy as jnp
+
+        from qvz_tpu.constants import MODE_RATIO
+        from qvz_tpu.native import runtime as rt
+        from qvz_tpu.ops import quantize_pallas as qp
+        from qvz_tpu.spec import stats as np_stats
+
+        c0, cond = np_stats.conditional_counts(
+            data, np.zeros(n, np.uint8), 1)
+        design = rt.Design(c0, cond, MODE_RATIO, 0.5, dist)
+        qt = qp.QuantTables(design.tables())
+        drw = np.random.default_rng(9).integers(
+            0, 128, size=(n, cols)).astype(np.uint8)
+        data_t = jnp.asarray(np.ascontiguousarray(data.T))
+        draws_t = jnp.asarray(np.ascontiguousarray(drw.T))
+
+        def fence(outs):
+            for o in outs:
+                np.asarray(o.reshape(-1)[:1])
+
+        saved = os.environ.get("QVZ_TPU_QUANT_MERGED")
+        try:
+            os.environ["QVZ_TPU_QUANT_MERGED"] = merged
+            outs = qp.quantize_pallas(qt, data_t, draws_t, None, n)
+            fence(outs)                            # warm/compile
+            ref = [np.asarray(o) for o in outs]
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = qp.quantize_pallas(qt, data_t, draws_t, None, n)
+                fence(outs)
+                best = min(best, time.perf_counter() - t0)
+            for a, b in zip(ref, outs):            # parity inside probe
+                assert np.array_equal(a, np.asarray(b)), f"{tag} parity"
+        finally:
+            if saved is None:
+                os.environ.pop("QVZ_TPU_QUANT_MERGED", None)
+            else:
+                os.environ["QVZ_TPU_QUANT_MERGED"] = saved
+        leg = {"wall_s": round(best, 3),
+               "Msym_s": round(syms / best / 1e6, 1),
+               "merged": merged,
+               "rows_mean": round(float(qt.qr2.shape[1] + (
+                   qt.sv.mean() if merged == "1"
+                   else qt.nb.mean() + qt.sv.mean())), 1)}
+        results["legs"][tag] = leg
+        save()
+        print(tag, json.dumps(leg), flush=True)
+
+    safe(quantize_leg, "quant_split", "0")
+    safe(quantize_leg, "quant_merged", "1")
+
     # --- decode: XLA scan form vs Mosaic kernel ----------------------
     host_c = enc.encode(data, dist, use_jax=False, shards=512, **kw)
     comp = host_c.compressed
