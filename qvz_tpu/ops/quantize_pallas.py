@@ -65,6 +65,10 @@ from qvz_tpu.constants import ALPHABET_SIZE
 _I32 = jnp.int32
 _U32 = jnp.uint32
 _LANE = 128
+# kernel VMEM fit budget in (8,128) int32 rows (4 KB each): scoped
+# VMEM is 16 MB with ~1.5 MB Mosaic overhead (a 3904-row config
+# measured 17.52 MB); tests patch this to force the fallback chain
+_ROW_BUDGET = 3300
 def _rb() -> int:
     # lane-tile rows per invocation (x1024 reads); 64 = 64k reads.
     # QVZ_TPU_QUANT_RB tunes block size vs invocation count.
@@ -382,6 +386,27 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
     )(nb, sv, data_b, draws_b, ckey, qr2, bnd, qvt)
 
 
+@partial(jax.jit,
+         static_argnames=("rb_rows", "interpret", "merged", "nspan"))
+def _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2, bnd, qvt,
+                    rb_rows, interpret=False, merged=False, nspan=1):
+    """Every lane block's kernel call inlined into one executable
+    (QVZ_TPU_QUANT_FUSE, default on) — blocks are independent, so
+    one dispatch covers the whole input and XLA overlaps the blocks'
+    table DMAs with each other's sweeps."""
+    cols = data_p.shape[0]
+    span = rb_rows * 8 * _LANE
+    outs = []
+    for k in range(nspan):
+        s0 = k * span
+        db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
+        rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
+        ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
+        outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
+                                    interpret=interpret, merged=merged))
+    return outs
+
+
 def use_pallas_quantize() -> bool:
     """QVZ_TPU_QUANTIZE_PALLAS: 1 (default) = Mosaic kernel on
     accelerator backends; 0 = XLA gather scan; interpret = kernel via
@@ -415,14 +440,14 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     qr_pad = qt.qr2.shape[1]
     sv_pad = qt.qvt.shape[1]
     nb_pad = qt.bnd.shape[1]
-    _BUDGET = 3300
-    if merged and qr_pad + 2 * sv_pad + 13 * rb_rows > _BUDGET:
+    if merged and qr_pad + 2 * sv_pad + 13 * rb_rows > _ROW_BUDGET:
         merged = False
     if not merged:
         tab_rows = max(nb_pad, sv_pad)
-        while qr_pad + tab_rows + 13 * rb_rows > _BUDGET and rb_rows > 8:
+        while (qr_pad + tab_rows + 13 * rb_rows > _ROW_BUDGET
+               and rb_rows > 8):
             rb_rows //= 2
-        if qr_pad + tab_rows + 13 * rb_rows > _BUDGET:
+        if qr_pad + tab_rows + 13 * rb_rows > _ROW_BUDGET:
             return None
     span = rb_rows * 8 * _LANE
     n_pad = -(-n // span) * span
@@ -448,13 +473,26 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
         qr2, bnd, qvt = repl(qt.qr2), repl(qt.kt), repl(qt.vt)
     else:
         qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
-    outs = []
-    for s0 in range(0, n_pad, span):
-        db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
-        rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
-        ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
-        outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
-                                    interpret=interp, merged=merged))
+    nspan = n_pad // span
+    if os.environ.get("QVZ_TPU_QUANT_FUSE", "1") == "1":
+        # ALL lane blocks in ONE jitted dispatch: the blocks are
+        # independent (the column recursion is per-read), so XLA
+        # pipelines the kernels' DMAs against each other's compute,
+        # and the host issues one tunnel round-trip instead of nspan
+        outs = _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2,
+                               bnd, qvt, rb_rows, interpret=interp,
+                               merged=merged, nspan=nspan)
+    else:
+        outs = []
+        for s0 in range(0, n_pad, span):
+            db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8,
+                                                 _LANE)
+            rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8,
+                                                  _LANE)
+            ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
+            outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd,
+                                        qvt, interpret=interp,
+                                        merged=merged))
     cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],
                            axis=1)[:, :n] for k in range(3)]
     return cat[0], cat[1], cat[2]

@@ -192,7 +192,7 @@ def main():
     # (round-5). Pure kernel rate, device-resident operands, the tiny
     # d2h fence forcing completion (remote-attached block_until_ready
     # returns early — the bench.py gotcha) ----------------------------
-    def quantize_leg(tag, merged):
+    def quantize_leg(tag, merged, fuse="0"):
         if tag in results["legs"] and "error" not in results["legs"][tag]:
             print(tag, "cached", flush=True)
             return
@@ -217,8 +217,10 @@ def main():
                 np.asarray(o.reshape(-1)[:1])
 
         saved = os.environ.get("QVZ_TPU_QUANT_MERGED")
+        savedf = os.environ.get("QVZ_TPU_QUANT_FUSE")
         try:
             os.environ["QVZ_TPU_QUANT_MERGED"] = merged
+            os.environ["QVZ_TPU_QUANT_FUSE"] = fuse
             outs = qp.quantize_pallas(qt, data_t, draws_t, None, n)
             fence(outs)                            # warm/compile
             ref = [np.asarray(o) for o in outs]
@@ -235,9 +237,13 @@ def main():
                 os.environ.pop("QVZ_TPU_QUANT_MERGED", None)
             else:
                 os.environ["QVZ_TPU_QUANT_MERGED"] = saved
+            if savedf is None:
+                os.environ.pop("QVZ_TPU_QUANT_FUSE", None)
+            else:
+                os.environ["QVZ_TPU_QUANT_FUSE"] = savedf
         leg = {"wall_s": round(best, 3),
                "Msym_s": round(syms / best / 1e6, 1),
-               "merged": merged,
+               "merged": merged, "fused_dispatch": fuse,
                "rows_mean": round(float(qt.qr2.shape[1] + (
                    qt.sv.mean() if merged == "1"
                    else qt.nb.mean() + qt.sv.mean())), 1)}
@@ -247,6 +253,7 @@ def main():
 
     safe(quantize_leg, "quant_split", "0")
     safe(quantize_leg, "quant_merged", "1")
+    safe(quantize_leg, "quant_merged_fused", "1", "1")
 
     # --- decode: XLA scan form vs Mosaic kernel ----------------------
     host_c = enc.encode(data, dist, use_jax=False, shards=512, **kw)

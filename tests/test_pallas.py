@@ -257,3 +257,65 @@ def test_quantize_pallas_matches_gather(monkeypatch):
         assert np.array_equal(np.asarray(m0), np.asarray(m1)), form
         assert np.array_equal(np.asarray(s0), np.asarray(s1)), form
         assert np.array_equal(np.asarray(v0), np.asarray(v1)), form
+
+
+def test_quantize_vmem_fit_fallback_chain(monkeypatch):
+    """The kernel VMEM fit model walks merged -> split (shrinking the
+    lane block) -> None (caller takes the XLA gather path), and every
+    rung produces identical outputs.  _ROW_BUDGET is patched down so
+    a small config exercises the chain; the real-budget big-table
+    case is vouched on-chip (a 2-cluster sv_pad=2816 config OOM'd
+    scoped VMEM before the model existed)."""
+    import qvz_tpu.native
+    qvz_tpu.native.load()
+    from qvz_tpu.constants import DISTORTION_MSE, MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize as q
+    from qvz_tpu.ops import quantize_pallas as qp
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.spec import stats as np_stats
+
+    rng = np.random.default_rng(5)
+    n, cols = 2000, 12
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    clusters = np.zeros(n, dtype=np.uint8)
+    c0, cond = np_stats.conditional_counts(data, clusters, 1)
+    design = rt.Design(c0, cond, MODE_RATIO, 0.5,
+                       make_matrix(DISTORTION_MSE))
+    tables = design.tables()
+    draws = rng.integers(0, 128, size=(n, cols)).astype(np.uint8)
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "0")
+    ref = q.quantize_t_device(tables, data, clusters, draws)[:3]
+    ref = [np.asarray(x) for x in ref]
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "interpret")
+    qt = qp.QuantTables(tables)
+    qr_pad, sv_pad = qt.qr2.shape[1], qt.qvt.shape[1]
+    nb_pad = qt.bnd.shape[1]
+    tab_rows = max(nb_pad, sv_pad)
+
+    # budget admits split at a shrunken block but not merged
+    monkeypatch.setattr(qp, "_ROW_BUDGET",
+                        qr_pad + tab_rows + 13 * 16)
+    got = q.quantize_t_device(tables, data, clusters, draws)[:3]
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, np.asarray(b))
+
+    # budget admits nothing -> quantize_pallas defers to the gather
+    # path (which ignores the interpret env and runs XLA directly)
+    monkeypatch.setattr(qp, "_ROW_BUDGET", 0)
+    assert qp.quantize_pallas(qt, *_tq_args(data, draws)) is None
+    got = q.quantize_t_device(tables, data, clusters, draws)[:3]
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, np.asarray(b))
+
+
+def _tq_args(data, draws):
+    import jax.numpy as jnp
+    return (jnp.asarray(np.ascontiguousarray(data.T)),
+            jnp.asarray(np.ascontiguousarray(draws.T)),
+            None, data.shape[0])
