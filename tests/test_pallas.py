@@ -319,3 +319,46 @@ def _tq_args(data, draws):
     return (jnp.asarray(np.ascontiguousarray(data.T)),
             jnp.asarray(np.ascontiguousarray(draws.T)),
             None, data.shape[0])
+
+
+@pytest.mark.parametrize("ratio,cols,n_cl", [
+    (0.0, 8, 1),    # card-1 quantizers: bnd rows empty, sv = npc
+    (0.9, 8, 1),    # high-rate: large state cardinalities
+    (0.5, 1, 1),    # single column (no context recursion at all)
+    (0.85, 6, 3),   # multi-cluster high-rate
+])
+def test_quantize_pallas_edge_geometries(monkeypatch, ratio, cols,
+                                         n_cl):
+    """Merged + split kernel forms vs the XLA gather scan across the
+    rate extremes and degenerate geometries (interpret mode; compiled
+    parity is the on-chip gates)."""
+    import qvz_tpu.native
+    qvz_tpu.native.load()
+    from qvz_tpu.constants import DISTORTION_MSE, MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize as q
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.spec import stats as np_stats
+
+    rng = np.random.default_rng(int(ratio * 100) + cols)
+    n = 1500
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, max(cols - 1, 0)))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    clusters = (np.arange(n) % n_cl).astype(np.uint8)
+    c0, cond = np_stats.conditional_counts(data, clusters, n_cl)
+    design = rt.Design(c0, cond, MODE_RATIO, ratio,
+                       make_matrix(DISTORTION_MSE))
+    tables = design.tables()
+    draws = rng.integers(0, 128, size=(n, cols)).astype(np.uint8)
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "0")
+    ref = [np.asarray(x) for x in
+           q.quantize_t_device(tables, data, clusters, draws)[:3]]
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "interpret")
+    for form in ("1", "0"):
+        monkeypatch.setenv("QVZ_TPU_QUANT_MERGED", form)
+        got = q.quantize_t_device(tables, data, clusters, draws)[:3]
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, np.asarray(b)), (form, ratio)
