@@ -266,23 +266,38 @@ def main() -> None:
                 "fence(c)\n"
                 "print('kmeans_ms', (time.perf_counter()-t0)*100)\n"),
             "quantize": prelude + (
-                "from qvz_tpu.ops.quantize import _quantize_device\n"
-                "dt=jax.device_put(np.ascontiguousarray(d.T)"
+                # the PRODUCTION quantize path (Mosaic merged-sweep
+                # kernel) on bench-corpus-like data + a real designed
+                # table set — the old probe timed the deprecated XLA
+                # gather scan on synthetic flat tables
+                "import qvz_tpu.native; qvz_tpu.native.load()\n"
+                "from qvz_tpu.native import runtime as rt\n"
+                "from qvz_tpu.constants import MODE_RATIO,"
+                "DISTORTION_MSE\n"
+                "from qvz_tpu.ops.distortion import make_matrix\n"
+                "from qvz_tpu.ops import quantize_pallas as qqp\n"
+                "from qvz_tpu.spec import stats as np_stats\n"
+                "st=rng.integers(28,40,size=(100_000,1))\n"
+                "sp=(rng.integers(-2,3,size=(100_000,99))"
+                "-(np.arange(99)//40))\n"
+                "dq=np.clip(np.concatenate([st,sp],1).cumsum(1),2,41)"
+                ".astype(np.uint8)\n"
+                "c0,cond=np_stats.conditional_counts(dq,"
+                "np.zeros(100_000,np.uint8),1)\n"
+                "des=rt.Design(c0,cond,MODE_RATIO,0.5,"
+                "make_matrix(DISTORTION_MSE))\n"
+                "qt=qqp.QuantTables(des.tables())\n"
+                "dt=jax.device_put(np.ascontiguousarray(dq.T)"
                 ".astype(np.int32))\n"
                 "drw=jax.device_put(rng.integers(0,128,"
                 "size=(100,100_000)).astype(np.int32))\n"
-                "cb=jax.device_put(np.zeros(100_000,dtype=np.int32))\n"
-                "ct=jax.device_put(np.zeros((100*72,),dtype=np.int32))\n"
-                "pb=jax.device_put(np.zeros(100,dtype=np.int32))\n"
-                "qr=jax.device_put(np.full(100,64,dtype=np.int32))\n"
-                "qv=jax.device_put(np.tile(np.arange(72,dtype=np.int32),"
-                "200))\n"
-                "f=lambda: _quantize_device(dt,drw,cb,100,ct,pb,qr,"
-                "qv,qv)\n"
-                "o=f(); fence(o[0])\n"
+                "f=lambda: qqp.quantize_pallas(qt,dt,drw,None,"
+                "100_000)\n"
+                "o=f()\n"
+                "for t in o: fence(t)\n"
                 "t0=time.perf_counter()\n"
                 "for _ in range(10): o=f()\n"
-                "fence(o[0])\n"
+                "for t in o: fence(t)\n"
                 "print('quantize_ms', (time.perf_counter()-t0)*100)\n"),
             "coder": prelude + (
                 # interval recurrence alone, VARYING triples (an

@@ -261,8 +261,8 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
     qv_ref[0] = qv
 
 
-def _qkernel_merged(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
-                    qr2_ref, kt_ref, vt_ref,
+def _qkernel_merged(qrbound, nb_ref, sv_ref, data_ref, draws_ref,
+                    ckey_ref, qr2_ref, kt_ref, vt_ref,
                     mid_ref, qs_ref, qv_ref,
                     prev_ref, qrbuf_ref, ktbuf_ref, vtbuf_ref, sem):
     """Merged-sweep form (round-5 default): ONE pass over the per-state
@@ -297,8 +297,15 @@ def _qkernel_merged(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
 
     cp_qr.wait()
 
-    g_lo = jnp.min(dq) // 16
-    g_hi = jnp.max(dq) // 16 + 1
+    # prev is a quantizer OUTPUT: the dense indices concentrate, so
+    # bound the sweep to the block's [min dq, max dq] 16-row groups
+    # (QVZ_TPU_QUANT_QRBOUND=0 for A/B attribution; threaded in as a
+    # static jit arg so flipping the env retraces)
+    if qrbound:
+        g_lo = jnp.min(dq) // 16
+        g_hi = jnp.max(dq) // 16 + 1
+    else:
+        g_lo, g_hi = 0, qrbuf_ref.shape[0] // 16
 
     def qr_row16(r8, accs):
         ch = qrbuf_ref[pl.ds(r8 * 16, 16)]
@@ -341,9 +348,9 @@ def _qkernel_merged(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
     qv_ref[0] = qv
 
 
-@partial(jax.jit, static_argnames=("interpret", "merged"))
+@partial(jax.jit, static_argnames=("interpret", "merged", "qrbound"))
 def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
-                    interpret=False, merged=False):
+                    interpret=False, merged=False, qrbound=True):
     """One invocation: (cols, RB, 8, 128) data/draws blocks; tables
     (cols, rows, 8, 128) lane-replicated."""
     cols = data_b.shape[0]
@@ -359,7 +366,7 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
             pltpu.VMEM((qvt.shape[1], 8, _LANE), _I32),  # payload rows
             pltpu.SemaphoreType.DMA((3,)),
         ]
-        kern = _qkernel_merged
+        kern = partial(_qkernel_merged, qrbound)
     else:
         big = max(bnd.shape[1], qvt.shape[1])
         tabs = [
@@ -386,10 +393,11 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
     )(nb, sv, data_b, draws_b, ckey, qr2, bnd, qvt)
 
 
-@partial(jax.jit,
-         static_argnames=("rb_rows", "interpret", "merged", "nspan"))
+@partial(jax.jit, static_argnames=("rb_rows", "interpret", "merged",
+                                   "nspan", "qrbound"))
 def _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2, bnd, qvt,
-                    rb_rows, interpret=False, merged=False, nspan=1):
+                    rb_rows, interpret=False, merged=False, nspan=1,
+                    qrbound=True):
     """Every lane block's kernel call inlined into one executable
     (QVZ_TPU_QUANT_FUSE, default on) — blocks are independent, so
     one dispatch covers the whole input and XLA overlaps the blocks'
@@ -403,7 +411,8 @@ def _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2, bnd, qvt,
         rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
         ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
         outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
-                                    interpret=interpret, merged=merged))
+                                    interpret=interpret, merged=merged,
+                                    qrbound=qrbound))
     return outs
 
 
@@ -474,6 +483,7 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     else:
         qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
     nspan = n_pad // span
+    qrb = os.environ.get("QVZ_TPU_QUANT_QRBOUND", "1") == "1"
     if os.environ.get("QVZ_TPU_QUANT_FUSE", "1") == "1":
         # ALL lane blocks in ONE jitted dispatch: the blocks are
         # independent (the column recursion is per-read), so XLA
@@ -481,7 +491,7 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
         # and the host issues one tunnel round-trip instead of nspan
         outs = _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2,
                                bnd, qvt, rb_rows, interpret=interp,
-                               merged=merged, nspan=nspan)
+                               merged=merged, nspan=nspan, qrbound=qrb)
     else:
         outs = []
         for s0 in range(0, n_pad, span):
@@ -492,7 +502,7 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
             ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
             outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd,
                                         qvt, interpret=interp,
-                                        merged=merged))
+                                        merged=merged, qrbound=qrb))
     cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],
                            axis=1)[:, :n] for k in range(3)]
     return cat[0], cat[1], cat[2]

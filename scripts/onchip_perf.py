@@ -192,7 +192,7 @@ def main():
     # (round-5). Pure kernel rate, device-resident operands, the tiny
     # d2h fence forcing completion (remote-attached block_until_ready
     # returns early — the bench.py gotcha) ----------------------------
-    def quantize_leg(tag, merged, fuse="0"):
+    def quantize_leg(tag, merged, fuse="0", qrb="1"):
         if tag in results["legs"] and "error" not in results["legs"][tag]:
             print(tag, "cached", flush=True)
             return
@@ -221,6 +221,7 @@ def main():
         try:
             os.environ["QVZ_TPU_QUANT_MERGED"] = merged
             os.environ["QVZ_TPU_QUANT_FUSE"] = fuse
+            os.environ["QVZ_TPU_QUANT_QRBOUND"] = qrb
             outs = qp.quantize_pallas(qt, data_t, draws_t, None, n)
             fence(outs)                            # warm/compile
             ref = [np.asarray(o) for o in outs]
@@ -241,6 +242,7 @@ def main():
                 os.environ.pop("QVZ_TPU_QUANT_FUSE", None)
             else:
                 os.environ["QVZ_TPU_QUANT_FUSE"] = savedf
+            os.environ.pop("QVZ_TPU_QUANT_QRBOUND", None)
         leg = {"wall_s": round(best, 3),
                "Msym_s": round(syms / best / 1e6, 1),
                "merged": merged, "fused_dispatch": fuse,
@@ -254,6 +256,7 @@ def main():
     safe(quantize_leg, "quant_split", "0")
     safe(quantize_leg, "quant_merged", "1")
     safe(quantize_leg, "quant_merged_fused", "1", "1")
+    safe(quantize_leg, "quant_merged_noqrbound", "1", "0", "0")
 
     # --- decode: XLA scan form vs Mosaic kernel ----------------------
     host_c = enc.encode(data, dist, use_jax=False, shards=512, **kw)
