@@ -362,3 +362,48 @@ def test_quantize_pallas_edge_geometries(monkeypatch, ratio, cols,
         got = q.quantize_t_device(tables, data, clusters, draws)[:3]
         for a, b in zip(ref, got):
             assert np.array_equal(a, np.asarray(b)), (form, ratio)
+
+
+def test_quantize_column_windows(monkeypatch):
+    """Column-windowed table replication (QVZ_TPU_QUANT_COLW): the
+    kernel's lane-replicated tables cost cols x rows x 4 KB on
+    device — ~10 GB at the 1022-column geometry — so wide inputs
+    replicate only a window of columns at a time, threading the
+    context recursion's prev vector across windows.  Forcing a
+    3-column window on a 24-column config must be element-identical
+    to the unwindowed path and the gather scan, in both kernel
+    forms (including a window boundary mid-recursion)."""
+    import qvz_tpu.native
+    qvz_tpu.native.load()
+    from qvz_tpu.constants import DISTORTION_MSE, MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize as q
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.spec import stats as np_stats
+
+    rng = np.random.default_rng(44)
+    n, cols, n_cl = 3000, 24, 2
+    start = rng.integers(20, 45, size=(n, 1))
+    steps = rng.integers(-3, 4, size=(n, cols - 1))
+    data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                   71).astype(np.uint8)
+    clusters = (np.arange(n) % n_cl).astype(np.uint8)
+    c0, cond = np_stats.conditional_counts(data, clusters, n_cl)
+    design = rt.Design(c0, cond, MODE_RATIO, 0.5,
+                       make_matrix(DISTORTION_MSE))
+    tables = design.tables()
+    draws = rng.integers(0, 128, size=(n, cols)).astype(np.uint8)
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "0")
+    ref = [np.asarray(x) for x in
+           q.quantize_t_device(tables, data, clusters, draws)[:3]]
+
+    monkeypatch.setenv("QVZ_TPU_QUANTIZE_PALLAS", "interpret")
+    for form in ("1", "0"):
+        monkeypatch.setenv("QVZ_TPU_QUANT_MERGED", form)
+        for colw in ("3", "24", "1"):
+            monkeypatch.setenv("QVZ_TPU_QUANT_COLW", colw)
+            got = q.quantize_t_device(tables, data, clusters,
+                                      draws)[:3]
+            for a, b in zip(ref, got):
+                assert np.array_equal(a, np.asarray(b)), (form, colw)
