@@ -161,7 +161,7 @@ class QuantTables:
         self.C = C
 
 
-def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
+def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref, prev0_ref,
              qr2_ref, bnd_ref, qvt_ref,
              mid_ref, qs_ref, qv_ref,
              prev_ref, qrbuf_ref, tabbuf_ref, sem):
@@ -180,7 +180,9 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
 
     @pl.when(i == 0)
     def _():
-        prev_ref[...] = jnp.zeros_like(prev_ref)
+        # the column window's entry context (zeros for column 0 of
+        # the file; the previous window's last qv otherwise)
+        prev_ref[...] = prev0_ref[...]
 
     data = data_ref[0].astype(_I32)
     draw = draws_ref[0].astype(_I32)
@@ -262,7 +264,7 @@ def _qkernel(nb_ref, sv_ref, data_ref, draws_ref, ckey_ref,
 
 
 def _qkernel_merged(qrbound, nb_ref, sv_ref, data_ref, draws_ref,
-                    ckey_ref, qr2_ref, kt_ref, vt_ref,
+                    ckey_ref, prev0_ref, qr2_ref, kt_ref, vt_ref,
                     mid_ref, qs_ref, qv_ref,
                     prev_ref, qrbuf_ref, ktbuf_ref, vtbuf_ref, sem):
     """Merged-sweep form (round-5 default): ONE pass over the per-state
@@ -288,7 +290,7 @@ def _qkernel_merged(qrbound, nb_ref, sv_ref, data_ref, draws_ref,
 
     @pl.when(i == 0)
     def _():
-        prev_ref[...] = jnp.zeros_like(prev_ref)
+        prev_ref[...] = prev0_ref[...]
 
     data = data_ref[0].astype(_I32)
     draw = draws_ref[0].astype(_I32)
@@ -349,8 +351,8 @@ def _qkernel_merged(qrbound, nb_ref, sv_ref, data_ref, draws_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret", "merged", "qrbound"))
-def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
-                    interpret=False, merged=False, qrbound=True):
+def _quantize_block(data_b, draws_b, ckey, prev0, nb, sv, qr2, bnd,
+                    qvt, interpret=False, merged=False, qrbound=True):
     """One invocation: (cols, RB, 8, 128) data/draws blocks; tables
     (cols, rows, 8, 128) lane-replicated."""
     cols = data_b.shape[0]
@@ -380,6 +382,7 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
         grid=(cols,),
         in_specs=[blk, blk,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   tab, tab, tab],
         out_specs=(blk, blk, blk),
         scratch_shapes=[pltpu.VMEM((rb, 8, _LANE), _I32)] + tabs,
@@ -390,14 +393,14 @@ def _quantize_block(data_b, draws_b, ckey, nb, sv, qr2, bnd, qvt,
         grid_spec=grid_spec,
         out_shape=(out, out, out),
         interpret=interpret,
-    )(nb, sv, data_b, draws_b, ckey, qr2, bnd, qvt)
+    )(nb, sv, data_b, draws_b, ckey, prev0, qr2, bnd, qvt)
 
 
 @partial(jax.jit, static_argnames=("rb_rows", "interpret", "merged",
                                    "nspan", "qrbound"))
-def _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2, bnd, qvt,
-                    rb_rows, interpret=False, merged=False, nspan=1,
-                    qrbound=True):
+def _quantize_spans(data_p, draws_p, ck_full, prev_flat, nb, sv, qr2,
+                    bnd, qvt, rb_rows, interpret=False, merged=False,
+                    nspan=1, qrbound=True):
     """Every lane block's kernel call inlined into one executable
     (QVZ_TPU_QUANT_FUSE, default on) — blocks are independent, so
     one dispatch covers the whole input and XLA overlaps the blocks'
@@ -410,9 +413,10 @@ def _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2, bnd, qvt,
         db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
         rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8, _LANE)
         ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
-        outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd, qvt,
-                                    interpret=interpret, merged=merged,
-                                    qrbound=qrbound))
+        pv = prev_flat[s0:s0 + span].reshape(rb_rows, 8, _LANE)
+        outs.append(_quantize_block(db, rb, ck, pv, nb, sv, qr2, bnd,
+                                    qvt, interpret=interpret,
+                                    merged=merged, qrbound=qrbound))
     return outs
 
 
@@ -473,36 +477,73 @@ def quantize_pallas(qt: QuantTables, data_t, draws_t, cluster_ids, n):
     def repl(a):
         a = jnp.asarray(a)
         return jnp.broadcast_to(a[:, :, None, None],
-                                (cols, a.shape[1], 8, _LANE))
+                                (a.shape[0], a.shape[1], 8, _LANE))
 
     data_p, draws_p = pad_t(data_t), pad_t(draws_t)
     nb = jnp.asarray(qt.nb)
     sv = jnp.asarray(qt.sv)
-    if merged:
-        qr2, bnd, qvt = repl(qt.qr2), repl(qt.kt), repl(qt.vt)
-    else:
-        qr2, bnd, qvt = repl(qt.qr2), repl(qt.bnd), repl(qt.qvt)
     nspan = n_pad // span
     qrb = os.environ.get("QVZ_TPU_QUANT_QRBOUND", "1") == "1"
-    if os.environ.get("QVZ_TPU_QUANT_FUSE", "1") == "1":
-        # ALL lane blocks in ONE jitted dispatch: the blocks are
-        # independent (the column recursion is per-read), so XLA
-        # pipelines the kernels' DMAs against each other's compute,
-        # and the host issues one tunnel round-trip instead of nspan
-        outs = _quantize_spans(data_p, draws_p, ck_full, nb, sv, qr2,
-                               bnd, qvt, rb_rows, interpret=interp,
-                               merged=merged, nspan=nspan, qrbound=qrb)
+    fuse = os.environ.get("QVZ_TPU_QUANT_FUSE", "1") == "1"
+
+    # column WINDOWS bound the lane-replicated tables' device
+    # footprint: replication costs rows_per_col x 4 KB per column
+    # (~10 GB at the reference's 1022-column ceiling with bench-scale
+    # tables), so only a window of columns is replicated at a time
+    # and the context recursion's prev vector is threaded across
+    # windows through the kernels' prev0 input.  QVZ_TPU_QUANT_COLW
+    # overrides (0 = auto: ~768 MB replication budget).
+    if merged:
+        rows_per_col = qt.qr2.shape[1] + 2 * qt.qvt.shape[1]
     else:
-        outs = []
-        for s0 in range(0, n_pad, span):
-            db = data_p[:, s0:s0 + span].reshape(cols, rb_rows, 8,
-                                                 _LANE)
-            rb = draws_p[:, s0:s0 + span].reshape(cols, rb_rows, 8,
+        rows_per_col = (qt.qr2.shape[1]
+                        + qt.bnd.shape[1] + qt.qvt.shape[1])
+    colw = int(os.environ.get("QVZ_TPU_QUANT_COLW", "0"))
+    if colw <= 0:
+        colw = max(1, (768 * 2 ** 20) // (rows_per_col * 4096))
+    colw = min(colw, cols)
+
+    prev_flat = jnp.zeros(n_pad, _I32)
+    parts: list = [[], [], []]
+    for w0 in range(0, cols, colw):
+        w1 = min(cols, w0 + colw)
+        if merged:
+            qr2, bnd, qvt = (repl(qt.qr2[w0:w1]), repl(qt.kt[w0:w1]),
+                             repl(qt.vt[w0:w1]))
+        else:
+            qr2, bnd, qvt = (repl(qt.qr2[w0:w1]), repl(qt.bnd[w0:w1]),
+                             repl(qt.qvt[w0:w1]))
+        nbw, svw = nb[w0:w1], sv[w0:w1]
+        dpw, rpw = data_p[w0:w1], draws_p[w0:w1]
+        if fuse:
+            # ALL lane blocks in ONE jitted dispatch: the blocks are
+            # independent (the column recursion is per-read), so XLA
+            # pipelines the kernels' DMAs against each other's
+            # compute, and the host issues one tunnel round-trip
+            outs = _quantize_spans(dpw, rpw, ck_full, prev_flat, nbw,
+                                   svw, qr2, bnd, qvt, rb_rows,
+                                   interpret=interp, merged=merged,
+                                   nspan=nspan, qrbound=qrb)
+        else:
+            outs = []
+            for s0 in range(0, n_pad, span):
+                db = dpw[:, s0:s0 + span].reshape(w1 - w0, rb_rows, 8,
                                                   _LANE)
-            ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
-            outs.append(_quantize_block(db, rb, ck, nb, sv, qr2, bnd,
-                                        qvt, interpret=interp,
-                                        merged=merged, qrbound=qrb))
-    cat = [jnp.concatenate([o[k].reshape(cols, span) for o in outs],
-                           axis=1)[:, :n] for k in range(3)]
+                rb = rpw[:, s0:s0 + span].reshape(w1 - w0, rb_rows, 8,
+                                                  _LANE)
+                ck = ck_full[s0:s0 + span].reshape(rb_rows, 8, _LANE)
+                pv = prev_flat[s0:s0 + span].reshape(rb_rows, 8, _LANE)
+                outs.append(_quantize_block(db, rb, ck, pv, nbw, svw,
+                                            qr2, bnd, qvt,
+                                            interpret=interp,
+                                            merged=merged,
+                                            qrbound=qrb))
+        if w1 < cols:
+            prev_flat = jnp.concatenate(
+                [o[2][-1].reshape(-1) for o in outs])
+        for k in range(3):
+            parts[k].append(jnp.concatenate(
+                [o[k].reshape(w1 - w0, span) for o in outs], axis=1))
+    cat = [jnp.concatenate(p, axis=0)[:, :n] if len(p) > 1
+           else p[0][:, :n] for p in parts]
     return cat[0], cat[1], cat[2]
