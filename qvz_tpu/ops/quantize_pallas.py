@@ -108,31 +108,50 @@ class QuantTables:
         # since first_sym(0) = 0) and the qv deltas telescope to the
         # last matching state's value in bits 0..8 (qv = acc & 511;
         # exact: qv < 128 and card <= 72 so acc < 512*73).
-        bnd_cols, qv_cols, kt_cols, vt_cols = [], [], [], []
-        for col in range(cols):
-            bnd, qvr, ktr, vtr = [], [], [], []
-            for cl in range(C):
-                for p in range(int(pb[cl, col]),
-                               int(pb[cl, col]) + int(nctx[cl, col])):
-                    for ch in (0, 1):
-                        pc = 2 * p + ch
-                        qsr = qs_map[pc].astype(np.int64)
-                        qvr_m = qv_map[pc].astype(np.int64)
-                        steps = np.nonzero(np.diff(qsr) > 0)[0] + 1
-                        bnd.extend(pc * 256 + steps)
-                        card = int(qsr.max()) + 1
-                        first = np.searchsorted(qsr, np.arange(card))
-                        qvr.extend((pc * 128 + np.arange(card)) * 128
-                                   + qvr_m[first])
-                        ktr.extend(pc * 256 + first)
-                        vtr.extend(512 + np.diff(qvr_m[first],
-                                                 prepend=0))
-            bnd_cols.append(np.asarray(bnd, dtype=np.int64))
-            qv_cols.append(np.asarray(qvr, dtype=np.int64))
-            kt_cols.append(np.asarray(ktr, dtype=np.int64))
-            vt_cols.append(np.asarray(vtr, dtype=np.int64))
-        nb = np.array([len(b) for b in bnd_cols], dtype=np.int32)
-        sv = np.array([len(v) for v in qv_cols], dtype=np.int32)
+        # Flat-vectorized over all pc rows at once (the per-pc Python
+        # loop measured 0.35 s at the bench shape — longer than the
+        # kernel it feeds; tests/test_pallas.py holds a loop-form
+        # oracle asserting array equality).  Row order contract: per
+        # column, (cluster asc, pair asc, choice asc) with boundary/
+        # state positions ascending within a pc — pair indices ascend
+        # (cluster, column)-lexicographically by construction, so ONE
+        # stable sort of the globally pc-ordered rows by column
+        # reproduces the order exactly.
+        n2 = 2 * n_pairs
+        qs2 = qs_map[:n2].astype(np.int64)
+        qv2 = qv_map[:n2].astype(np.int64)
+        col_of_pair = np.repeat(np.tile(np.arange(cols), C),
+                                nctx.reshape(-1))
+        col_of_pc = np.repeat(col_of_pair, 2)
+
+        card = qs2.max(1) + 1                      # states per pc
+        inc = qs2[:, 1:] != qs2[:, :-1]            # boundary marks
+        counts_b = inc.sum(1)                      # = card - 1
+        rpc, cpos = np.nonzero(inc)                # (pc, boundary-1)
+        bnd_keys = rpc * 256 + cpos + 1
+
+        total = int(card.sum())
+        starts = np.concatenate(([0], np.cumsum(card)))[:-1]
+        state_pc = np.repeat(np.arange(n2), card)
+        k_in = np.arange(total) - np.repeat(starts, card)
+        sb = np.concatenate(([0], np.cumsum(counts_b)))[:-1]
+        occ = np.arange(len(rpc)) - np.repeat(sb, counts_b)
+        first = np.zeros(total, np.int64)
+        first[starts[rpc] + occ + 1] = cpos + 1    # state 0 stays 0
+        qvv = qv2[state_pc, first]
+        kt_rows = state_pc * 256 + first
+        delta = qvv.copy()
+        delta[1:] -= qvv[:-1]
+        delta[starts] = qvv[starts]                # per-pc prepend-0
+        vt_rows = 512 + delta
+        qvt_rows = (state_pc * 128 + k_in) * 128 + qvv
+
+        ord_b = np.argsort(col_of_pc[rpc], kind="stable")
+        ord_s = np.argsort(col_of_pc[state_pc], kind="stable")
+        col_b = col_of_pc[rpc][ord_b]
+        col_s = col_of_pc[state_pc][ord_s]
+        nb = np.bincount(col_b, minlength=cols).astype(np.int32)
+        sv = np.bincount(col_s, minlength=cols).astype(np.int32)
 
         # pad table widths to sweep chunks; pad rows are sweep-inert
         # (bnd/kt sentinel 1<<29 and qvt -1 never match, qr2 pad rows
@@ -149,11 +168,14 @@ class QuantTables:
         vt_t = np.zeros((cols, sv_pad), dtype=np.int32)
         qr2_t = np.zeros((cols, rc_pad), dtype=np.int32)
         qr2_t[:, : C * A] = qr2
-        for col in range(cols):
-            bnd_t[col, : nb[col]] = bnd_cols[col]
-            qvt_t[col, : sv[col]] = qv_cols[col]
-            kt_t[col, : sv[col]] = kt_cols[col]
-            vt_t[col, : sv[col]] = vt_cols[col]
+        pos_b = (np.arange(len(col_b))
+                 - np.concatenate(([0], np.cumsum(nb)))[:-1][col_b])
+        pos_s = (np.arange(len(col_s))
+                 - np.concatenate(([0], np.cumsum(sv)))[:-1][col_s])
+        bnd_t[col_b, pos_b] = bnd_keys[ord_b]
+        qvt_t[col_s, pos_s] = qvt_rows[ord_s]
+        kt_t[col_s, pos_s] = kt_rows[ord_s]
+        vt_t[col_s, pos_s] = vt_rows[ord_s]
         self.qr2, self.bnd, self.qvt = qr2_t, bnd_t, qvt_t
         self.kt, self.vt = kt_t, vt_t
         self.nb, self.sv = nb, sv

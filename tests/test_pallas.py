@@ -407,3 +407,66 @@ def test_quantize_column_windows(monkeypatch):
                                       draws)[:3]
             for a, b in zip(ref, got):
                 assert np.array_equal(a, np.asarray(b)), (form, colw)
+
+
+def test_quant_tables_vectorized_build_matches_loop():
+    """QuantTables' flat-vectorized row build == the original per-pc
+    loop (kept here as the oracle), across rate extremes and
+    multi-cluster tables."""
+    import qvz_tpu.native
+    qvz_tpu.native.load()
+    from qvz_tpu.constants import ALPHABET_SIZE, DISTORTION_MSE, \
+        MODE_RATIO
+    from qvz_tpu.native import runtime as rt
+    from qvz_tpu.ops import quantize_pallas as qp
+    from qvz_tpu.ops.distortion import make_matrix
+    from qvz_tpu.spec import stats as np_stats
+
+    for ratio, n_cl, seed in ((0.5, 2, 41), (0.0, 1, 3), (0.9, 3, 9)):
+        rng = np.random.default_rng(seed)
+        n, cols = 2500, 16
+        start = rng.integers(20, 45, size=(n, 1))
+        steps = rng.integers(-3, 4, size=(n, cols - 1))
+        data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+                       71).astype(np.uint8)
+        clusters = (np.arange(n) % n_cl).astype(np.uint8)
+        c0, cond = np_stats.conditional_counts(data, clusters, n_cl)
+        design = rt.Design(c0, cond, MODE_RATIO, ratio,
+                           make_matrix(DISTORTION_MSE))
+        tables = design.tables()
+        qt = qp.QuantTables(tables)
+
+        # oracle: the per-pc loop form
+        A = ALPHABET_SIZE
+        C = n_cl
+        pb = np.asarray(tables.pair_base,
+                        dtype=np.int64).reshape(C, cols)
+        qs_map = np.asarray(tables.qs_map).reshape(-1, A)
+        qv_map = np.asarray(tables.qv_map).reshape(-1, A)
+        n_pairs = int(tables.n_pairs)
+        nxt = np.append(pb.reshape(-1)[1:], n_pairs)
+        nctx = (nxt - pb.reshape(-1)).reshape(C, cols)
+        for col in range(cols):
+            bnd, qvr, ktr, vtr = [], [], [], []
+            for cl in range(C):
+                for p in range(int(pb[cl, col]),
+                               int(pb[cl, col]) + int(nctx[cl, col])):
+                    for ch in (0, 1):
+                        pc = 2 * p + ch
+                        qsr = qs_map[pc].astype(np.int64)
+                        qvm = qv_map[pc].astype(np.int64)
+                        stp = np.nonzero(np.diff(qsr) > 0)[0] + 1
+                        bnd.extend(pc * 256 + stp)
+                        crd = int(qsr.max()) + 1
+                        first = np.searchsorted(qsr, np.arange(crd))
+                        qvr.extend((pc * 128 + np.arange(crd)) * 128
+                                   + qvm[first])
+                        ktr.extend(pc * 256 + first)
+                        vtr.extend(512 + np.diff(qvm[first],
+                                                 prepend=0))
+            assert qt.nb[col] == len(bnd), (ratio, col)
+            assert qt.sv[col] == len(qvr), (ratio, col)
+            assert np.array_equal(qt.bnd[col, :len(bnd)], bnd)
+            assert np.array_equal(qt.qvt[col, :len(qvr)], qvr)
+            assert np.array_equal(qt.kt[col, :len(ktr)], ktr)
+            assert np.array_equal(qt.vt[col, :len(vtr)], vtr)
