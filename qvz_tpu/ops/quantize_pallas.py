@@ -329,7 +329,13 @@ def _qkernel_merged(qrbound, nb_ref, sv_ref, data_ref, draws_ref,
         g_lo = jnp.min(dq) // 16
         g_hi = jnp.max(dq) // 16 + 1
     else:
-        g_lo, g_hi = 0, qrbuf_ref.shape[0] // 16
+        # full-range sweep, but through the SAME traced while-loop
+        # form: static python-int bounds make this kernel's qr loop
+        # unroll, which crashes the Mosaic compile helper (observed
+        # on the noqrbound attribution leg) — and an unrolled loop
+        # would be a different program than the one being attributed
+        g_lo = jnp.min(dq) * 0
+        g_hi = g_lo + qrbuf_ref.shape[0] // 16
 
     def qr_row16(r8, accs):
         ch = qrbuf_ref[pl.ds(r8 * 16, 16)]
