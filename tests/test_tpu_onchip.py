@@ -209,6 +209,11 @@ devs = enc.encode(data, dist, use_jax=True, **kw)
 assert host.compressed == devs.compressed, 'split-quantize divergence'
 print('quantize split-form parity on-chip OK')
 del os.environ['QVZ_TPU_QUANT_MERGED']
+os.environ['QVZ_TPU_QUANT_COLW'] = '7'
+devw = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == devw.compressed, 'windowed-quantize divergence'
+print('quantize column-window parity on-chip OK')
+del os.environ['QVZ_TPU_QUANT_COLW']
 os.environ['QVZ_TPU_QUANTIZE_PALLAS'] = '0'
 devg = enc.encode(data, dist, use_jax=True, **kw)
 assert host.compressed == devg.compressed, 'gather-quantize divergence'
@@ -217,6 +222,7 @@ print('quantize kernel-vs-gather parity on-chip OK')
     assert "device coder F=2 sblow-on parity on-chip OK" in out
     assert "device coder F=2 sblow-off parity on-chip OK" in out
     assert "quantize split-form parity on-chip OK" in out
+    assert "quantize column-window parity on-chip OK" in out
     assert "quantize kernel-vs-gather parity on-chip OK" in out
 
 
