@@ -309,3 +309,36 @@ print('mesh device coder on-chip OK, fallbacks',
       meshy.stats.coder_fallback_lanes)
 """)
     assert "mesh device coder on-chip OK" in out
+
+
+def test_device_wide_geometry_windows_on_chip():
+    """The reference's 1022-column ceiling (lines.h:12) through the
+    device quantize path on the real chip: unwindowed replication
+    would materialize ~ cols x rows x 4 KB of tables (multi-GB); the
+    auto column window must keep it bounded AND byte-equal to the
+    host encode."""
+    out = _run_onchip("""
+import numpy as np, jax, os
+assert any(d.platform != 'cpu' for d in jax.devices()), jax.devices()
+from qvz_tpu.constants import DISTORTION_MSE
+from qvz_tpu.ops.distortion import make_matrix
+from qvz_tpu.ops.well import WellState
+from qvz_tpu.pipeline import encode as enc
+
+rng = np.random.default_rng(31)
+n, cols = 16384, 1022
+start = rng.integers(20, 45, size=(n, 1))
+steps = rng.integers(-1, 2, size=(n, cols - 1))
+data = np.clip(np.concatenate([start, steps], 1).cumsum(1), 0,
+               71).astype(np.uint8)
+dist = make_matrix(DISTORTION_MSE)
+kw = dict(ratio=0.5, well_state=WellState.debug(), shards=32,
+          prime=False, want_recon=False)
+host = enc.encode(data, dist, use_jax=False, **kw)
+dev = enc.encode(data, dist, use_jax=True, **kw)
+assert host.compressed == dev.compressed, 'wide-geometry divergence'
+assert dev.stats.coder_fallback_lanes == 0
+print('wide-geometry (1022 cols) windowed device parity on-chip OK')
+""")
+    assert ("wide-geometry (1022 cols) windowed device parity on-chip "
+            "OK") in out
