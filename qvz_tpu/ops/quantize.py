@@ -14,6 +14,7 @@ so results are bit-identical to the host path.
 from __future__ import annotations
 
 import os
+import time
 
 from functools import partial
 
@@ -22,6 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from qvz_tpu.constants import ALPHABET_SIZE
+
+# sub-phase timings of the LAST quantize_t_device call (populated only
+# under QVZ_TPU_CODER_TIMINGS=1; read by pipeline/encode.py)
+LAST_TIMINGS: dict = {}
 
 
 @partial(jax.jit, static_argnames=("columns",))
@@ -177,6 +182,12 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
     one-hot rewrite at 1M x 100 on a v5e) and the one-hot-matmul MXU
     variant (QVZ_TPU_QUANTIZE_MXU=1 fallback)."""
     n, cols = data.shape
+    # sub-phase attribution (QVZ_TPU_CODER_TIMINGS=1, bench/probes
+    # only — the fences break async overlap): upload / table build /
+    # kernel+dispatch, surfaced as phase_seconds["quantize/..."]
+    tm = {} if os.environ.get("QVZ_TPU_CODER_TIMINGS") == "1" else None
+    LAST_TIMINGS.clear()
+    t0 = time.perf_counter()
     # upload 1 B/symbol u8 and cast on device (see _quantize_device);
     # a jax-array input is already device-resident (one shared upload
     # for the stats + quantize phases) — transpose on device instead.
@@ -185,6 +196,9 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
     else:
         data_t = data.T
     draws_t = jnp.asarray(np.ascontiguousarray(draws.T))
+    if tm is not None:
+        jax.block_until_ready((data_t, draws_t))
+        tm["upload"] = time.perf_counter() - t0
 
     from qvz_tpu.ops import quantize_pallas as qp
     if qp.use_pallas_quantize() and not _use_mxu_variant():
@@ -193,10 +207,14 @@ def quantize_t_device(tables, data: np.ndarray, cluster_ids, draws):
         # became the device pipeline's dominant phase; the kernel's
         # static-table sweeps run at coder-kernel rates. Bit-identical
         # (tests/test_pallas.py + on-chip container parity).
+        t1 = time.perf_counter()
         cached = getattr(tables, "_qp_tabs", None)
         if cached is None:
             cached = qp.QuantTables(tables)
             tables._qp_tabs = cached
+        if tm is not None:
+            tm["tables"] = time.perf_counter() - t1
+            LAST_TIMINGS.update(tm)
         got = qp.quantize_pallas(
             cached, data_t, draws_t, cluster_ids, n)
         if got is not None:  # None: tables bust the kernel VMEM model

@@ -13,14 +13,18 @@ Design (quantize is the coder kernel's easier sibling — the tables
 are STATIC, so there are no updates and every lookup is a masked
 sweep in the coder kernel's proven lane-replicated form):
 
-  lanes  = READS, tiled (RB, 8, 128) = RB*1024 reads per invocation;
+  lanes  = READS, tiled (RB, 8, 128) = RB*1024 reads per invocation
+           (RB=64 measured best: 191.8/247.6/255.2 Msym/s at
+           32/48/64; all lane blocks dispatch in ONE jitted
+           executable, QVZ_TPU_QUANT_FUSE);
   grid   = columns (the context recursion is sequential in columns,
-           embarrassingly parallel over reads);
+           embarrassingly parallel over reads), replicating tables
+           only for a WINDOW of columns at a time (768 MB budget —
+           unwindowed replication is ~10 GB at 1022 columns) with
+           prev threaded across windows via the prev0 input;
   prev   = previous column's reconstruction, carried in VMEM scratch;
   tables = per-column row arrays, lane-replicated to (rows, 8, 128)
-           XLA-side and DMA'd into VMEM scratch per column — the bnd
-           and qvt sweeps SHARE one buffer (sequential DMAs bracket
-           their sweeps), so the working set stays well under VMEM:
+           XLA-side and DMA'd into VMEM scratch per column:
 
   1. qr2[cluster*72 + prev]  = (pair p << 8) | qratio[p]
      (qratio = floor(ratio*128) can be 128 — 8 bits, codebook.c:156)

@@ -309,6 +309,12 @@ def _device_coder_encode(tables, data, clusters, cluster_arr, states,
     t1 = time.perf_counter()
     stats.phase_seconds["quantize"] = t1 - t0
     stats.device_seconds["quantize"] = t1 - t0
+    if mesh is None:   # LAST_TIMINGS is quantize_t_device's record
+        for k, v in jx_quant.LAST_TIMINGS.items():
+            stats.phase_seconds[f"quantize/{k}"] = round(v, 3)
+        if jx_quant.LAST_TIMINGS:
+            stats.phase_seconds["quantize/kernel"] = round(
+                (t1 - t0) - sum(jx_quant.LAST_TIMINGS.values()), 3)
 
     first = 1 if prime_on else 0
     bank = None
