@@ -604,7 +604,8 @@ def main() -> None:
         # to the host path — the architecture targets PCIe-attached
         # production chips (see SCALING.md "Tunnel reality").
         dev_leg = (
-            "import json,time,sys,numpy as np\n"
+            "import json,time,sys,os,numpy as np\n"
+            "os.environ['QVZ_TPU_CODER_TIMINGS']='1'\n"
             "from qvz_tpu.constants import DISTORTION_MSE\n"
             "from qvz_tpu.ops.distortion import make_matrix\n"
             "from qvz_tpu.ops.well import WellState\n"
