@@ -407,6 +407,13 @@ def test_quantize_column_windows(monkeypatch):
                                       draws)[:3]
             for a, b in zip(ref, got):
                 assert np.array_equal(a, np.asarray(b)), (form, colw)
+    # windows x per-span (non-fused) dispatch
+    monkeypatch.setenv("QVZ_TPU_QUANT_MERGED", "1")
+    monkeypatch.setenv("QVZ_TPU_QUANT_FUSE", "0")
+    monkeypatch.setenv("QVZ_TPU_QUANT_COLW", "5")
+    got = q.quantize_t_device(tables, data, clusters, draws)[:3]
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, np.asarray(b)), "nofuse windows"
 
 
 def test_quant_tables_vectorized_build_matches_loop():
